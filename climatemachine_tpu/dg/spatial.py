@@ -1,0 +1,283 @@
+"""DG spatial discretization: the RHS operator (the hot path).
+
+Scope of reference ``src/Numerics/DGMethods/``: DGModel.jl (:85 RHS
+functor), DGModel_kernels.jl (volume_tendency! :64, dgsem_interface_tendency!
+:588, volume_gradients! :934, dgsem_interface_gradients! :1365),
+SpaceDiscretization.jl (launch logic :1090-1212).
+
+TPU-first design (contrast with the reference's KernelAbstractions kernels):
+
+- **Volume terms are batched tensor contractions.**  The weak-form
+  divergence ``M^{-1} sum_a D_a^T (M F_xia)`` is einsums of the small
+  derivative matrices over the ``[E, Nq3, Nq2, Nq1, V]`` state block; XLA
+  maps these onto the MXU as batched matmuls and fuses the metric
+  multiplies into them.
+- **Interface terms are gathers + one matmul.**  Face states are gathered
+  with the precomputed ``vmapM/vmapP`` maps; the numerical flux is a
+  vectorized Riemann solve over all faces at once; the surface lift is a
+  single static 0/1 matrix multiply (``grid.lift``) instead of a scatter.
+- **No comm code here.**  The same operator runs single-chip or sharded:
+  under ``shard_map``/GSPMD the cross-shard gathers become halo collectives
+  (see climatemachine_tpu.parallel); the reference's
+  begin/end_ghost_exchange! pairs (DGModel.jl:126-398) have no analog.
+- **Direction splitting** (Every/Horizontal/Vertical, reference
+  SpaceDiscretization.jl:1090) selects which reference dims and faces
+  contribute; used by IMEX (vertical-implicit) and multirate splittings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from climatemachine_tpu.balance_laws import state_types as st
+from climatemachine_tpu.dg.numerical_fluxes import (
+    CentralNumericalFluxGradient, CentralNumericalFluxSecondOrder,
+    RusanovNumericalFlux,
+)
+
+EVERY = "every"
+HORIZONTAL = "horizontal"
+VERTICAL = "vertical"
+
+
+def direction_dims(direction: str, dim: int) -> Tuple[int, ...]:
+    if direction == EVERY:
+        return tuple(range(dim))
+    if direction == HORIZONTAL:
+        return tuple(range(dim - 1))
+    if direction == VERTICAL:
+        return (dim - 1,)
+    raise ValueError(direction)
+
+
+def direction_faces(direction: str, dim: int) -> Tuple[int, ...]:
+    return tuple(f for d in direction_dims(direction, dim)
+                 for f in (2 * d, 2 * d + 1))
+
+
+def _to_block(grid, x):
+    """[E, Np, ...] -> [E, Nq_d-1, ..., Nq_0, ...] (k slowest, i fastest)."""
+    E = x.shape[0]
+    return x.reshape((E,) + tuple(grid.Nq[::-1]) + x.shape[2:])
+
+
+def _to_flat(grid, x):
+    E = x.shape[0]
+    return x.reshape((E, grid.Np) + x.shape[1 + grid.dim:])
+
+
+def _apply_D(grid, xb, refdim: int, transpose: bool = False):
+    """Contract D (or D^T) along reference dim ``refdim`` of a block array
+    [E, Nq_{d-1}, ..., Nq_0, trailing...]."""
+    dim = grid.dim
+    axis = dim - refdim  # block axes: 0=E, 1..dim (slowest..fastest)
+    D = grid.D[refdim]
+    M = D if not transpose else D.T
+    # tensordot contracts x axis with M axis 1 (column), result appended last
+    out = jnp.tensordot(xb, M, axes=((axis,), (1,)))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def weak_divergence(grid, F_xi, dims: Sequence[int]):
+    """sum_a D_a^T (M * F_xia) for a in dims.  F_xi: [E, Np, dim, n]."""
+    MF = grid.M[..., None, None] * F_xi
+    out = None
+    for a in dims:
+        term = _to_flat(grid, _apply_D(grid, _to_block(grid, MF[:, :, a, :]),
+                                       a, transpose=True))
+        out = term if out is None else out + term
+    return out
+
+
+def strong_gradient(grid, g, dims: Sequence[int]):
+    """Chain-rule nodal gradient: d g / d x_i = sum_a xi_a,x_i * D_a g.
+    g: [E, Np, ng] -> [E, Np, ncoord, ng]."""
+    ncoord = grid.coords.shape[-1]
+    gb = _to_block(grid, g)
+    out = 0.0
+    for a in dims:
+        dga = _to_flat(grid, _apply_D(grid, gb, a))     # [E, Np, ng]
+        out = out + grid.xi_x[:, :, a, :, None] * dga[:, :, None, :]
+    return out
+
+
+class DGModel:
+    """Strong-stability weak-form DGSEM RHS (reference DGModel.jl:3,:85).
+
+    Calling ``dg(q, aux, t)`` returns ``(dq/dt, aux')`` where aux' has the
+    model's auxiliary update applied (functional replacement for the
+    reference's in-place aux mutation at DGModel.jl:110).
+    """
+
+    def __init__(self, balance_law, grid,
+                 numerical_flux_first_order=None,
+                 numerical_flux_gradient=None,
+                 numerical_flux_second_order=None,
+                 direction: str = EVERY,
+                 diffusion_direction: Optional[str] = None,
+                 update_aux: bool = True):
+        self.balance_law = balance_law
+        self.grid = grid
+        self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
+        self.nfg = numerical_flux_gradient or CentralNumericalFluxGradient()
+        self.nf2 = numerical_flux_second_order or CentralNumericalFluxSecondOrder()
+        self.direction = direction
+        self.diffusion_direction = diffusion_direction or direction
+        self.update_aux = update_aux
+
+        bl = balance_law
+        self.n_prognostic = bl.num_state(st.Prognostic())
+        self.n_auxiliary = bl.num_state(st.Auxiliary())
+        self.n_gradient = bl.num_state(st.Gradient())
+        self.n_gradient_flux = bl.num_state(st.GradientFlux())
+
+    # --- face helpers -------------------------------------------------------
+
+    def _gather_faces(self, x, faces):
+        """x: [E, Np, n] -> (xM, xP): [E, nf_active, Nfp, n]."""
+        g = self.grid
+        flat = x.reshape((-1,) + x.shape[2:])
+        idxM = g.vmapM[:, faces, :]
+        idxP = g.vmapP[:, faces, :]
+        return flat[idxM], flat[idxP]
+
+    def _boundary_plus(self, tagged_fn, faces, nrm, qM, auxM, qP, auxP, t):
+        """Overwrite (qP, auxP) on boundary faces with ghost states.
+
+        ``tagged_fn(tag) -> (qP_tag, auxP_tag)``; tags are static, so this
+        unrolls into a few masked selects (no dynamic dispatch under jit).
+        """
+        g = self.grid
+        tags = g.elem_bctags
+        if not tags:
+            return qP, auxP
+        bctag = g.face_bctag[:, faces]             # [E, nf_active]
+        for tag in tags:
+            qB, auxB = tagged_fn(tag)
+            mask = (bctag == tag)[..., None, None]  # broadcast over Nfp, n
+            qP = jnp.where(mask, qB, qP)
+            auxP = jnp.where(mask, auxB, auxP)
+        return qP, auxP
+
+    def _lift(self, face_term, faces):
+        """Surface lift: face_term [E, nf_active, Nfp, n...] -> [E, Np, n...],
+        multiplied by M^{-1}.  One static matmul (grid.lift)."""
+        g = self.grid
+        E = face_term.shape[0]
+        trailing = face_term.shape[3:]
+        cols = [g.lift[:, f * g.Nfp_max:(f + 1) * g.Nfp_max] for f in faces]
+        L = jnp.concatenate(cols, axis=1)          # [Np, nf_active*Nfp_max]
+        ft = face_term.reshape(E, len(faces) * g.Nfp_max, -1)
+        out = jnp.einsum("nq,eqc->enc", L, ft)
+        out = out.reshape((E, g.Np) + trailing)
+        return g.MI.reshape(E, g.Np, *([1] * len(trailing))) * out
+
+    # --- gradient pass -------------------------------------------------------
+
+    def spatial_gradient(self, q, aux, t):
+        """DG gradient of the model's gradient-argument variables.
+        Returns grad_g [E, Np, ncoord, ng]."""
+        bl, g = self.balance_law, self.grid
+        dims = direction_dims(self.diffusion_direction, g.dim)
+        faces = direction_faces(self.diffusion_direction, g.dim)
+
+        garg = bl.compute_gradient_argument(q, aux, t)
+        grad = strong_gradient(g, garg, dims)
+
+        qM, qP = self._gather_faces(q, faces)
+        auxM, auxP = self._gather_faces(aux, faces)
+        nrm = g.normals[:, faces, :, :]
+
+        def ghost(tag):
+            return bl.boundary_state(tag, nrm, qM, auxM, t)
+
+        qP, auxP = self._boundary_plus(ghost, faces, nrm, qM, auxM, qP, auxP, t)
+        gM = bl.compute_gradient_argument(qM, auxM, t)
+        gP = bl.compute_gradient_argument(qP, auxP, t)
+        corr = self.nfg(bl, nrm, gM, gP)            # [E, nf, Nfp, ncoord, ng]
+        sM = g.sM[:, faces, :, None, None]
+        grad = grad + self._lift(sM * corr, faces)
+        return grad
+
+    # --- full RHS -------------------------------------------------------------
+
+    def __call__(self, q, aux, t):
+        bl, g = self.balance_law, self.grid
+        if self.update_aux:
+            aux = bl.update_auxiliary_state(g, q, aux, t)
+
+        dims = direction_dims(self.direction, g.dim)
+        faces = direction_faces(self.direction, g.dim)
+
+        gf = None
+        if self.n_gradient > 0:
+            grad_g = self.spatial_gradient(q, aux, t)
+            gf = bl.compute_gradient_flux(grad_g, q, aux, t)
+
+        # volume: M^{-1} D^T M F_xi
+        F = bl.flux_first_order(q, aux, t)
+        if gf is not None:
+            F = F + bl.flux_second_order(q, gf, None, aux, t)
+        # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
+        F_xi = jnp.einsum("enai,eniv->enav", g.xi_x, F)
+        tendency = g.MI[..., None] * weak_divergence(g, F_xi, dims)
+
+        # interface: - M^{-1} L (sM F*)
+        qM, qP = self._gather_faces(q, faces)
+        auxM, auxP = self._gather_faces(aux, faces)
+        nrm = g.normals[:, faces, :, :]
+
+        def ghost(tag):
+            return bl.boundary_state(tag, nrm, qM, auxM, t)
+
+        qP, auxP = self._boundary_plus(ghost, faces, nrm, qM, auxM, qP, auxP, t)
+        fstar = self.nf1(bl, nrm, qM, auxM, qP, auxP, t)
+
+        if gf is not None:
+            gfM, gfP = self._gather_faces(gf, faces)
+            bctag = g.face_bctag[:, faces]
+            for tag in g.elem_bctags:
+                gfB = bl.boundary_state_gradient_flux(tag, nrm, gfM, qM, auxM, t)
+                gfP = jnp.where((bctag == tag)[..., None, None], gfB, gfP)
+            fstar = fstar + self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t)
+
+        sM = g.sM[:, faces, :, None]
+        tendency = tendency - self._lift(sM * fstar, faces)
+
+        # source
+        tendency = tendency + bl.source(q, gf, aux, t)
+        return tendency, aux
+
+
+# --- state creation / initialization ----------------------------------------
+
+def create_state(balance_law, grid, state_type, dtype=None):
+    """Allocate a zero state array [E, Np, n] (reference create_states.jl:3)."""
+    n = balance_law.num_state(state_type)
+    dtype = dtype or grid.coords.dtype
+    return jnp.zeros((grid.nelem, grid.Np, n), dtype=dtype)
+
+
+def init_state_auxiliary(balance_law, grid):
+    """Aux with coord fields filled + model nodal init
+    (reference SpaceDiscretization.jl:246)."""
+    aux = create_state(balance_law, grid, st.Auxiliary())
+    spec = balance_law.vars_state(st.Auxiliary())
+    names = spec.flattened_names()
+    if "coord[0]" in names or "coord" in [n.split("[")[0] for n in names]:
+        ncoord = grid.coords.shape[-1]
+        aux = aux.at[..., spec.index("coord")].set(grid.coords[..., :ncoord])
+    return balance_law.nodal_init_state_auxiliary(grid.coords, aux)
+
+
+def init_ode_state(dg: DGModel, t0=0.0):
+    """(q0, aux0) from the balance law's initial condition
+    (reference SpaceDiscretization.jl:79 init_ode_state)."""
+    bl, grid = dg.balance_law, dg.grid
+    aux = init_state_auxiliary(bl, grid)
+    q = bl.init_state_prognostic(grid.coords, aux, t0)
+    aux = bl.update_auxiliary_state(grid, q, aux, t0)
+    return q, aux

