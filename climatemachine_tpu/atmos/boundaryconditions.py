@@ -1,0 +1,106 @@
+"""Atmosphere boundary conditions.
+
+Scope of reference ``src/Atmos/Model/boundaryconditions.jl`` + ``bc_*.jl``:
+``AtmosBC`` composed of per-equation BCs — momentum
+``Impenetrable(FreeSlip()/NoSlip()/DragLaw)``, energy
+``Insulating()/PrescribedTemperature/BulkFormulaEnergy``, moisture, etc.
+
+TPU-first: a BC produces the exterior ("ghost") state for the numerical
+flux, vectorized over all boundary face nodes of a given tag at once
+(the reference's atmos_boundary_state! pattern).  First-order ghost
+construction:
+- FreeSlip momentum: mirror the normal momentum component.
+- NoSlip momentum: negate momentum.
+- Insulating energy: copy ρe.
+Second-order (diffusive-flux) BCs adjust the gradient-flux ghost.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+# --- momentum ---------------------------------------------------------------
+
+class MomentumBC:
+    def ghost_rhou(self, model, nrm, rhou, aux, t):
+        raise NotImplementedError
+
+
+class FreeSlip(MomentumBC):
+    def ghost_rhou(self, model, nrm, rhou, aux, t):
+        un = jnp.sum(rhou * nrm, axis=-1, keepdims=True)
+        return rhou - 2 * un * nrm
+
+
+class NoSlip(MomentumBC):
+    def ghost_rhou(self, model, nrm, rhou, aux, t):
+        return -rhou
+
+
+@dataclass(frozen=True)
+class DragLaw(MomentumBC):
+    """Bulk-drag momentum flux with coefficient C_drag (reference
+    bc_momentum.jl DragLaw); first-order ghost is free-slip, the drag
+    enters through the diffusive flux (second-order path)."""
+    C_drag: float
+
+    def ghost_rhou(self, model, nrm, rhou, aux, t):
+        return FreeSlip().ghost_rhou(model, nrm, rhou, aux, t)
+
+
+@dataclass(frozen=True)
+class Impenetrable(MomentumBC):
+    """No normal flow; tangential behavior from the inner BC
+    (reference bc_momentum.jl Impenetrable)."""
+    bc: MomentumBC = field(default_factory=FreeSlip)
+
+    def ghost_rhou(self, model, nrm, rhou, aux, t):
+        return self.bc.ghost_rhou(model, nrm, rhou, aux, t)
+
+
+# --- energy -----------------------------------------------------------------
+
+class EnergyBC:
+    def ghost_rhoe(self, model, nrm, q, aux, rhou_ghost, t):
+        """Default: copy (insulating first-order)."""
+        return model.prog(q, "rhoe")
+
+
+class Insulating(EnergyBC):
+    pass
+
+
+@dataclass(frozen=True)
+class PrescribedTemperature(EnergyBC):
+    """Dirichlet surface temperature T_sfc(t) (reference bc_energy.jl)."""
+    T_sfc: float
+
+    def ghost_rhoe(self, model, nrm, q, aux, rhou_ghost, t):
+        ps = model.param_set
+        rho = model.prog(q, "rho")
+        Phi = model.aux_get(aux, "orientation.Phi")
+        e_int = ps.cv_d * (self.T_sfc - ps.T_0)
+        ke = 0.5 * jnp.sum(rhou_ghost ** 2, axis=-1) / rho ** 2
+        return rho * (e_int + ke + Phi)
+
+
+# --- composed ---------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AtmosBC:
+    """Per-equation BC bundle (reference boundaryconditions.jl AtmosBC)."""
+    momentum: MomentumBC = field(default_factory=lambda: Impenetrable(FreeSlip()))
+    energy: EnergyBC = field(default_factory=Insulating)
+
+    def ghost_state(self, model, nrm, q, aux, t):
+        """(q_ghost, aux_ghost) for the first-order numerical flux."""
+        rhou_g = self.momentum.ghost_rhou(model, nrm, model.prog(q, "rhou"),
+                                          aux, t)
+        rhoe_g = self.energy.ghost_rhoe(model, nrm, q, aux, rhou_g, t)
+        qg = model.prog_spec.set(q, "rhou", rhou_g)
+        qg = model.prog_spec.set(qg, "rhoe", rhoe_g)
+        return qg, aux

@@ -1,0 +1,213 @@
+"""Moist-air thermodynamics (equation of state, saturation adjustment).
+
+TPU-native re-provision of the external Thermodynamics.jl package — a
+de-facto component of the reference (used pervasively, e.g.
+``src/Atmos/Model/AtmosModel.jl:49-56``; dependency recorded at
+``Manifest.toml:979-980``).
+
+Design: plain functions over batched jnp arrays.  A "thermodynamic state"
+is not an object: hot-path code calls the closed-form functions directly
+(recompute beats store+reload on TPU where HBM bandwidth is the
+bottleneck).  The saturation adjustment is a fixed-iteration Newton solve
+(no data-dependent loop bounds) so XLA can fully unroll and fuse it.
+
+``q`` is a :class:`PhasePartition` (q_tot, q_liq, q_ice specific
+humidities); pass ``None``/defaults for dry air.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from climatemachine_tpu.physics.parameters import PlanetParameterSet
+
+
+class PhasePartition(NamedTuple):
+    """Specific humidities [kg/kg]: total, liquid, ice."""
+    tot: jnp.ndarray
+    liq: jnp.ndarray
+    ice: jnp.ndarray
+
+    @staticmethod
+    def dry(like=None):
+        z = 0.0 if like is None else jnp.zeros_like(like)
+        return PhasePartition(z, z, z)
+
+    @staticmethod
+    def vapor(q_tot):
+        z = jnp.zeros_like(q_tot)
+        return PhasePartition(q_tot, z, z)
+
+    @property
+    def vap(self):
+        return self.tot - self.liq - self.ice
+
+
+# --- moist-air material properties -----------------------------------------
+
+def gas_constant_air(ps: PlanetParameterSet, q: Optional[PhasePartition] = None):
+    """R_m: specific gas constant of moist air."""
+    if q is None:
+        return ps.R_d
+    eps = ps.molmass_ratio
+    return ps.R_d * (1 + (eps - 1) * q.tot - eps * (q.liq + q.ice))
+
+
+def cv_m(ps: PlanetParameterSet, q: Optional[PhasePartition] = None):
+    if q is None:
+        return ps.cv_d
+    return (ps.cv_d + (ps.cv_v - ps.cv_d) * q.tot
+            + (ps.cv_l - ps.cv_v) * q.liq + (ps.cv_i - ps.cv_v) * q.ice)
+
+
+def cp_m(ps: PlanetParameterSet, q: Optional[PhasePartition] = None):
+    if q is None:
+        return ps.cp_d
+    return (ps.cp_d + (ps.cp_v - ps.cp_d) * q.tot
+            + (ps.cp_l - ps.cp_v) * q.liq + (ps.cp_i - ps.cp_v) * q.ice)
+
+
+# --- internal energy <-> temperature ---------------------------------------
+
+def internal_energy(ps: PlanetParameterSet, T, q: Optional[PhasePartition] = None):
+    """Specific internal energy e_int(T, q)."""
+    if q is None:
+        return ps.cv_d * (T - ps.T_0)
+    return (cv_m(ps, q) * (T - ps.T_0)
+            + (q.tot - q.liq) * ps.e_int_v0
+            - q.ice * (ps.e_int_v0 + ps.e_int_i0))
+
+
+def air_temperature(ps: PlanetParameterSet, e_int,
+                    q: Optional[PhasePartition] = None):
+    """T(e_int, q) — inverse of :func:`internal_energy`."""
+    if q is None:
+        return ps.T_0 + e_int / ps.cv_d
+    return ps.T_0 + (e_int - (q.tot - q.liq) * ps.e_int_v0
+                     + q.ice * (ps.e_int_v0 + ps.e_int_i0)) / cv_m(ps, q)
+
+
+def internal_energy_from_state(rho, rhoe, rhou, Phi):
+    """e_int from conserved state: (ρe - |ρu|²/2ρ - ρΦ)/ρ."""
+    ke = 0.5 * jnp.sum(rhou * rhou, axis=-1) / (rho * rho)
+    return rhoe / rho - ke - Phi
+
+
+def total_energy(ps: PlanetParameterSet, e_kin, e_pot, T,
+                 q: Optional[PhasePartition] = None):
+    """Specific total energy e_tot = e_kin + e_pot + e_int(T, q)."""
+    return e_kin + e_pot + internal_energy(ps, T, q)
+
+
+# --- equation of state ------------------------------------------------------
+
+def air_pressure(ps: PlanetParameterSet, T, rho,
+                 q: Optional[PhasePartition] = None):
+    return rho * gas_constant_air(ps, q) * T
+
+
+def air_density(ps: PlanetParameterSet, T, p,
+                q: Optional[PhasePartition] = None):
+    return p / (gas_constant_air(ps, q) * T)
+
+
+def soundspeed_air(ps: PlanetParameterSet, T,
+                   q: Optional[PhasePartition] = None):
+    gamma = cp_m(ps, q) / cv_m(ps, q)
+    return jnp.sqrt(gamma * gas_constant_air(ps, q) * T)
+
+
+def exner(ps: PlanetParameterSet, p, q: Optional[PhasePartition] = None):
+    if q is None:
+        return (p / ps.MSLP) ** ps.kappa_d
+    return (p / ps.MSLP) ** (gas_constant_air(ps, q) / cp_m(ps, q))
+
+
+def dry_pottemp(ps: PlanetParameterSet, T, p,
+                q: Optional[PhasePartition] = None):
+    return T / exner(ps, p, q)
+
+
+def virtual_temperature(ps: PlanetParameterSet, T,
+                        q: Optional[PhasePartition] = None):
+    return gas_constant_air(ps, q) / ps.R_d * T
+
+
+# --- saturation -------------------------------------------------------------
+
+def liquid_fraction(ps: PlanetParameterSet, T):
+    """Equilibrium liquid fraction λ(T) (Heaviside at freezing, matching the
+    Thermodynamics.jl default)."""
+    return jnp.where(T > ps.T_freeze, 1.0, 0.0)
+
+
+def saturation_vapor_pressure(ps: PlanetParameterSet, T, LH_0, dcp):
+    """Clausius-Clapeyron with linear-in-T latent heat."""
+    Tt, Rv, T0 = ps.T_triple, ps.R_v, ps.T_0
+    return (ps.press_triple * (T / Tt) ** (dcp / Rv)
+            * jnp.exp((LH_0 - dcp * T0) / Rv * (1 / Tt - 1 / T)))
+
+
+def saturation_vapor_pressure_liquid(ps: PlanetParameterSet, T):
+    return saturation_vapor_pressure(ps, T, ps.LH_v0, ps.cp_v - ps.cp_l)
+
+
+def saturation_vapor_pressure_ice(ps: PlanetParameterSet, T):
+    return saturation_vapor_pressure(ps, T, ps.LH_s0, ps.cp_v - ps.cp_i)
+
+
+def q_vap_saturation(ps: PlanetParameterSet, T, rho, lam=None):
+    """Saturation specific humidity over a λ-weighted liquid/ice mixture."""
+    if lam is None:
+        lam = liquid_fraction(ps, T)
+    pvs = (lam * saturation_vapor_pressure_liquid(ps, T)
+           + (1 - lam) * saturation_vapor_pressure_ice(ps, T))
+    return pvs / (rho * ps.R_v * T)
+
+
+def latent_heat_vapor(ps: PlanetParameterSet, T):
+    return ps.LH_v0 + (ps.cp_v - ps.cp_l) * (T - ps.T_0)
+
+
+def latent_heat_sublim(ps: PlanetParameterSet, T):
+    return ps.LH_s0 + (ps.cp_v - ps.cp_i) * (T - ps.T_0)
+
+
+def latent_heat_fusion(ps: PlanetParameterSet, T):
+    return ps.LH_f0 + (ps.cp_l - ps.cp_i) * (T - ps.T_0)
+
+
+def phase_partition_equil(ps: PlanetParameterSet, T, rho, q_tot):
+    """Equilibrium phase partition at temperature T."""
+    lam = liquid_fraction(ps, T)
+    q_sat = q_vap_saturation(ps, T, rho, lam)
+    excess = jnp.maximum(q_tot - q_sat, 0.0)
+    return PhasePartition(q_tot, lam * excess, (1 - lam) * excess)
+
+
+def saturation_adjustment(ps: PlanetParameterSet, e_int, rho, q_tot,
+                          n_iter: int = 8):
+    """Equilibrium temperature T s.t. e_int == internal_energy(T, q_eq(T)).
+
+    Fixed-iteration Newton with a numerically-differentiated residual
+    (matches the reference's saturation-adjustment behavior,
+    Thermodynamics.jl `PhaseEquil`); unsaturated points converge on the
+    first step to the analytic dry/vapor temperature.
+    """
+    # first guess: all-vapor temperature
+    T = air_temperature(ps, e_int, PhasePartition.vapor(q_tot))
+    T = jnp.maximum(T, ps.T_min)
+
+    def resid(T):
+        q = phase_partition_equil(ps, T, rho, q_tot)
+        return internal_energy(ps, T, q) - e_int
+
+    dT = 1e-3
+    for _ in range(n_iter):
+        f = resid(T)
+        df = (resid(T + dT) - f) / dT
+        T = T - f / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
+        T = jnp.clip(T, ps.T_min, ps.T_max)
+    return T
