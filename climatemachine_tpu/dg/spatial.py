@@ -118,7 +118,8 @@ class DGModel:
                  numerical_flux_second_order=None,
                  direction: str = EVERY,
                  diffusion_direction: Optional[str] = None,
-                 update_aux: bool = True):
+                 update_aux: bool = True,
+                 exchange=None):
         self.balance_law = balance_law
         self.grid = grid
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
@@ -127,6 +128,10 @@ class DGModel:
         self.direction = direction
         self.diffusion_direction = diffusion_direction or direction
         self.update_aux = update_aux
+        # Halo hook (reference begin/end_ghost_exchange!, DGModel.jl:126-398):
+        # maps the flat [E*Np, n] node array to an extended array whose tail
+        # holds remote face nodes; grid.vmapP of a sharded grid points there.
+        self.exchange = exchange
 
         bl = balance_law
         self.n_prognostic = bl.num_state(st.Prognostic())
@@ -140,6 +145,8 @@ class DGModel:
         """x: [E, Np, n] -> (xM, xP): [E, nf_active, Nfp, n]."""
         g = self.grid
         flat = x.reshape((-1,) + x.shape[2:])
+        if self.exchange is not None:
+            flat = self.exchange(flat)
         idxM = g.vmapM[:, faces, :]
         idxP = g.vmapP[:, faces, :]
         return flat[idxM], flat[idxP]

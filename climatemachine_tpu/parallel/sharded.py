@@ -1,0 +1,155 @@
+"""shard_map'ed DG operator over a device mesh.
+
+TPU-native replacement for the reference's MPIStateArray halo machinery
+(``src/Arrays/MPIStateArrays.jl:411-516`` begin/end_ghost_exchange! with
+Isend/Irecv + pack/unpack kernels) and the comm/compute-overlapped RHS
+(``src/Numerics/DGMethods/DGModel.jl:85-427``):
+
+- State lives as a global jax.Array sharded over the element axis of a
+  1-D ``Mesh(('e',))`` (columns never split — partition.py).
+- Inside ``shard_map`` the halo is: gather export face-nodes → one
+  ``all_gather`` over the ICI ring → concat as an extended node space
+  that the per-shard ``vmapP`` indexes.  XLA schedules the collective
+  asynchronously against the volume einsums, recovering the reference's
+  comm/compute overlap without explicit double buffering.
+- Global reductions (norm/dt/conservation) are jnp reductions of the
+  sharded array — GSPMD inserts the psum (reference MPI.Allreduce).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from climatemachine_tpu.dg.spatial import DGModel
+from climatemachine_tpu.parallel.partition import ElementPartition, partition_grid
+
+AXIS = "e"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@dataclass
+class _ShardGrid:
+    """Per-shard grid view with the attrs the DG hot path reads."""
+    dim: int
+    Nq: Tuple[int, ...]
+    Np: int
+    nface: int
+    Nfp_max: int
+    D: Tuple
+    M: jnp.ndarray
+    MI: jnp.ndarray
+    xi_x: jnp.ndarray
+    normals: jnp.ndarray
+    sM: jnp.ndarray
+    vmapM: jnp.ndarray
+    vmapP: jnp.ndarray
+    face_bctag: jnp.ndarray
+    elem_bctags: Tuple[int, ...]
+    lift: jnp.ndarray
+    coords: jnp.ndarray
+
+    @property
+    def nelem(self):
+        return self.M.shape[0]
+
+
+class ShardedDGModel:
+    """Wraps a single-device :class:`DGModel` into a shard_map'd RHS.
+
+    ``rhs(q, aux, t)`` has the same signature/semantics as ``DGModel()``
+    but q/aux are global arrays sharded over ``mesh`` axis 'e'.
+    """
+
+    def __init__(self, dg: DGModel, mesh: Mesh):
+        self.inner = dg
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        ndev = mesh.devices.size
+        g = dg.grid
+        self.part = partition_grid(g, ndev)
+        p = self.part
+
+        self.sharding = NamedSharding(mesh, P(self.axis))
+        # stacked per-shard index maps, sharded so each device gets its own
+        self._vmapP = jax.device_put(
+            jnp.asarray(p.vmapP_loc, dtype=jnp.int32), self.sharding)
+        self._send_idx = jax.device_put(
+            jnp.asarray(p.send_idx, dtype=jnp.int32), self.sharding)
+        self._vmapM_loc = jnp.asarray(p.vmapM_loc, dtype=jnp.int32)
+
+        # element-sharded geometry
+        shard_e = lambda a: jax.device_put(a, self.sharding)
+        self._geom = dict(
+            M=shard_e(g.M), MI=shard_e(g.MI), xi_x=shard_e(g.xi_x),
+            normals=shard_e(g.normals), sM=shard_e(g.sM),
+            face_bctag=shard_e(g.face_bctag), coords=shard_e(g.coords))
+        self._static = dict(dim=g.dim, Nq=g.Nq, Np=g.Np, nface=g.nface,
+                            Nfp_max=g.Nfp_max, D=g.D, lift=g.lift,
+                            elem_bctags=g.elem_bctags)
+
+        self._shard_rhs = self._build()
+
+    def shard(self, x):
+        """Place a global [E, ...] array with the element-axis sharding."""
+        return jax.device_put(x, self.sharding)
+
+    def _build(self):
+        inner = self.inner
+        axis = self.axis
+        static = self._static
+        vmapM_loc = self._vmapM_loc
+
+        def shard_fn(q, aux, vmapP, send_idx, M, MI, xi_x, normals, sM,
+                     face_bctag, coords, t):
+            vmapP = vmapP[0]        # [E_loc, nface, Nfpm] (leading dev axis)
+            send_idx = send_idx[0]
+
+            def exchange(flat):
+                # pack my exported face nodes, all-gather over the ring,
+                # append as the halo tail of the extended node space
+                send = flat[send_idx]                       # [max_send, n]
+                halo = jax.lax.all_gather(send, axis)       # [ndev, ms, n]
+                halo = halo.reshape((-1,) + flat.shape[1:])
+                return jnp.concatenate([flat, halo], axis=0)
+
+            sgrid = _ShardGrid(vmapM=vmapM_loc, vmapP=vmapP, M=M, MI=MI,
+                               xi_x=xi_x, normals=normals, sM=sM,
+                               face_bctag=face_bctag, coords=coords,
+                               **static)
+            dg = DGModel(inner.balance_law, sgrid,
+                         numerical_flux_first_order=inner.nf1,
+                         numerical_flux_gradient=inner.nfg,
+                         numerical_flux_second_order=inner.nf2,
+                         direction=inner.direction,
+                         diffusion_direction=inner.diffusion_direction,
+                         update_aux=inner.update_aux,
+                         exchange=exchange)
+            return dg(q, aux, t)
+
+        e = P(self.axis)
+        in_specs = (e, e, e, e, e, e, e, e, e, e, e, P())
+        out_specs = (e, e)
+        fn = shard_map(shard_fn, mesh=self.mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+
+        def rhs(q, aux, t):
+            gm = self._geom
+            return fn(q, aux, self._vmapP, self._send_idx, gm["M"],
+                      gm["MI"], gm["xi_x"], gm["normals"], gm["sM"],
+                      gm["face_bctag"], gm["coords"], t)
+
+        return rhs
+
+    def __call__(self, q, aux, t):
+        return self._shard_rhs(q, aux, t)
