@@ -126,7 +126,8 @@ class AtmosModel(BalanceLaw):
         return T, p, rhou / rho[..., None]
 
     # --- initialization -----------------------------------------------------
-    def nodal_init_state_auxiliary(self, coords, aux):
+    def nodal_init_state_auxiliary(self, geom, aux):
+        coords = geom["coords"]
         ps = self.param_set
         ori = self.physics.orientation
         Phi = ori.geopotential(ps, coords)
@@ -137,6 +138,8 @@ class AtmosModel(BalanceLaw):
             z = Phi / ps.grav
             for name, val in self.ref_state.fields(ps, z, Phi).items():
                 aux = self.aux_spec.set(aux, f"ref_state.{name}", val)
+        if self.physics.turbulence is not None:
+            aux = self.physics.turbulence.init_aux(self, geom, aux)
         return aux
 
     def init_state_prognostic(self, coords, aux, t):

@@ -42,9 +42,13 @@ class BalanceLaw:
         return self.vars_state(state_type).num
 
     # ------ initialization -------------------------------------------------
-    def nodal_init_state_auxiliary(self, coords, aux):
-        """Fill model aux fields given coordinates; aux arrives with the
-        ``coord`` entries already set. Returns updated aux."""
+    def nodal_init_state_auxiliary(self, geom, aux):
+        """Fill model aux fields given local geometry; aux arrives with the
+        ``coord`` entries already set. Returns updated aux.
+
+        ``geom`` is a dict with at least ``coords`` [E, Np, ncoord], ``J``
+        (Jacobian determinant per node) and ``Nq`` (reference LocalGeometry,
+        Geometry.jl:53)."""
         return aux
 
     def init_state_prognostic(self, coords, aux, t):

@@ -52,6 +52,21 @@ class Orientation:
         return vk * k
 
 
+class NoOrientation(Orientation):
+    """Φ = 0: no gravity geometry (reference :138); used by gravity-free
+    test configurations and MMS problems."""
+
+    def geopotential(self, ps, coords):
+        return jnp.zeros_like(coords[..., -1])
+
+    def grad_geopotential(self, ps, coords):
+        return jnp.zeros_like(coords)
+
+    @staticmethod
+    def altitude(ps, Phi):
+        raise ValueError("NoOrientation has no altitude")
+
+
 class FlatOrientation(Orientation):
     """Φ = g z with z the last coordinate (reference :246)."""
 
@@ -83,3 +98,29 @@ def latitude(coords):
 
 def longitude(coords):
     return jnp.arctan2(coords[..., 1], coords[..., 0])
+
+
+def sphr_to_cart_vec(coords, v_sphere):
+    """(zonal, meridional, radial) -> Cartesian vector at ``coords``
+    (reference Orientations.jl ``sphr_to_cart_vec``)."""
+    lat, lon = latitude(coords), longitude(coords)
+    sinl, cosl = jnp.sin(lat), jnp.cos(lat)
+    sinn, cosn = jnp.sin(lon), jnp.cos(lon)
+    lam_hat = jnp.stack([-sinn, cosn, jnp.zeros_like(sinn)], axis=-1)
+    phi_hat = jnp.stack([-sinl * cosn, -sinl * sinn, cosl], axis=-1)
+    r_hat = jnp.stack([cosl * cosn, cosl * sinn, sinl], axis=-1)
+    return (v_sphere[..., 0:1] * lam_hat + v_sphere[..., 1:2] * phi_hat
+            + v_sphere[..., 2:3] * r_hat)
+
+
+def cart_to_sphr_vec(coords, v_cart):
+    """Cartesian -> (zonal, meridional, radial) components at ``coords``."""
+    lat, lon = latitude(coords), longitude(coords)
+    sinl, cosl = jnp.sin(lat), jnp.cos(lat)
+    sinn, cosn = jnp.sin(lon), jnp.cos(lon)
+    lam_hat = jnp.stack([-sinn, cosn, jnp.zeros_like(sinn)], axis=-1)
+    phi_hat = jnp.stack([-sinl * cosn, -sinl * sinn, cosl], axis=-1)
+    r_hat = jnp.stack([cosl * cosn, cosl * sinn, sinl], axis=-1)
+    return jnp.stack([jnp.sum(v_cart * lam_hat, axis=-1),
+                      jnp.sum(v_cart * phi_hat, axis=-1),
+                      jnp.sum(v_cart * r_hat, axis=-1)], axis=-1)

@@ -277,7 +277,9 @@ def init_state_auxiliary(balance_law, grid):
     if "coord[0]" in names or "coord" in [n.split("[")[0] for n in names]:
         ncoord = grid.coords.shape[-1]
         aux = aux.at[..., spec.index("coord")].set(grid.coords[..., :ncoord])
-    return balance_law.nodal_init_state_auxiliary(grid.coords, aux)
+    geom = {"coords": grid.coords, "J": grid.J, "JcV": grid.JcV,
+            "M": grid.M, "Nq": grid.Nq}
+    return balance_law.nodal_init_state_auxiliary(geom, aux)
 
 
 def init_ode_state(dg: DGModel, t0=0.0):

@@ -55,6 +55,14 @@ class PlanetParameterSet:
     T_surf_ref: float = 290.0
     T_min_ref: float = 220.0
 
+    # subgrid scale (CLIMAParameters.Atmos.SubgridScale)
+    C_smag: float = 0.21
+    Prandtl_turb: float = 1.0 / 3.0
+
+    @property
+    def inv_Pr_turb(self) -> float:
+        return 1.0 / self.Prandtl_turb
+
     # --- derived (dry air) --------------------------------------------------
     @property
     def R_d(self) -> float:
