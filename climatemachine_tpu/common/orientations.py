@@ -91,9 +91,10 @@ class SphericalOrientation(Orientation):
 
 
 def latitude(coords):
-    """Geocentric latitude (reference Orientations.jl `latitude`)."""
+    """Geocentric latitude (reference Orientations.jl `latitude`).
+    The ratio is clipped: pole nodes can give |z|/r = 1 + O(eps)."""
     r = jnp.linalg.norm(coords, axis=-1)
-    return jnp.arcsin(coords[..., 2] / r)
+    return jnp.arcsin(jnp.clip(coords[..., 2] / r, -1.0, 1.0))
 
 
 def longitude(coords):
