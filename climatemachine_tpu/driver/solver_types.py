@@ -1,0 +1,67 @@
+"""Solver-type strategy objects: assemble time integrators for a config.
+
+Scope of reference ``src/Driver/SolverTypes/`` (ExplicitSolverType,
+IMEXSolverType :66 — implicit model AtmosAcousticGravityLinearModel,
+implicit solver ManyColumnLU, HEVI vertical splitting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from climatemachine_tpu.atmos.linear import AtmosAcousticGravityLinearModel
+from climatemachine_tpu.dg.spatial import DGModel, VERTICAL
+from climatemachine_tpu.ode import ark as ark_mod
+from climatemachine_tpu.ode.lsrk import (LSRK54CarpenterKennedy,
+                                         LSRK144NiegemannDiehlBusch)
+from climatemachine_tpu.solvers.columnwise import (ColumnLayout,
+                                                   ManyColumnSolver)
+
+
+@dataclass
+class ExplicitSolverType:
+    """Reference ExplicitSolverType.jl:17."""
+    solver_method: Callable = LSRK54CarpenterKennedy
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        return self.solver_method(lambda q, a, t: dg(q, a, t), dt)
+
+
+@dataclass
+class IMEXSolverType:
+    """HEVI IMEX (reference IMEXSolverType.jl:66): implicit operator =
+    vertical-direction AtmosAcousticGravityLinearModel, columnwise solve,
+    split-explicit-implicit remainder."""
+    implicit_model: Callable = AtmosAcousticGravityLinearModel
+    solver_method: Callable = ark_mod.ARK2GiraldoKellyConstantinescu
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        atmos = dg.balance_law
+        grid = dg.grid
+        lin = self.implicit_model(atmos)
+        dg_lin = DGModel(lin, grid,
+                         numerical_flux_first_order=dg.nf1,
+                         direction=VERTICAL, update_aux=False,
+                         exchange=dg.exchange)
+
+        layout = ColumnLayout(grid, atmos.prog_spec.num)
+        col_solver = ManyColumnSolver(
+            lambda x: dg_lin(x, aux0, 0.0)[0], layout, q0)
+
+        def rhs_ex(q, aux, t):
+            tend_full, aux = dg(q, aux, t)
+            tend_lin, _ = dg_lin(q, aux, t)
+            return tend_full - tend_lin, aux
+
+        def rhs_im(q, aux, t):
+            tend, _ = dg_lin(q, aux, t)
+            return tend, aux
+
+        solver = self.solver_method(rhs_ex, rhs_im, col_solver, dt)
+        # eager factorization for every distinct implicit diagonal
+        import numpy as np
+        for g in sorted({float(solver.A_im[i, i])
+                         for i in range(solver.nstages)} - {0.0}):
+            col_solver.prefactorize(g * dt)
+        return solver

@@ -1,0 +1,187 @@
+"""Additive (IMEX) Runge-Kutta methods.
+
+Scope of reference ``src/Numerics/ODESolvers/AdditiveRungeKuttaMethod.jl``
+(AdditiveRungeKutta :68, dostep! :264-415, tableaus
+ARK1ForwardBackwardEuler :690, ARK2ImplicitExplicitMidpoint :768,
+ARK2GiraldoKellyConstantinescu :839, ARK548L2SA2KennedyCarpenter :1003,
+ARK437L2SA1KennedyCarpenter :1148).
+
+dQ/dt = f_ex(Q) + f_im(Q) with f_im linear (HEVI vertical operator);
+ESDIRK implicit tableau with constant diagonal γ so one columnwise
+factorization serves all stages (reference exploits the same).
+
+TPU note: the stage loop is a static Python loop (unrolls under jit);
+each implicit solve is the batched MXU matvec from
+``solvers.columnwise.ManyColumnSolver``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class AdditiveRungeKutta:
+    """split-explicit-implicit ARK: f_ex = (full − linear), f_im = linear.
+
+    ``rhs_explicit(q, aux, t) -> (dq, aux)``; ``rhs_implicit(q, aux, t) ->
+    (dq, aux)`` must be linear in q; ``solver.solve(rhs, alpha_dt)``
+    applies (I − α·dt·L)⁻¹.
+    """
+
+    def __init__(self, rhs_explicit, rhs_implicit, solver, dt,
+                 A_ex, A_im, B, C):
+        self.rhs_ex = rhs_explicit
+        self.rhs_im = rhs_implicit
+        self.solver = solver
+        self.dt = float(dt)
+        self.A_ex = np.asarray(A_ex, dtype=np.float64)
+        self.A_im = np.asarray(A_im, dtype=np.float64)
+        self.B = np.asarray(B, dtype=np.float64)
+        self.C = np.asarray(C, dtype=np.float64)
+        self.nstages = len(self.B)
+        self.dt_fixed = True
+
+    def step(self, q, aux, t):
+        dt = self.dt
+        Fs, Gs = [], []
+        Qi = q
+        for i in range(self.nstages):
+            ti = t + self.C[i] * dt
+            if i > 0:
+                rhs = q
+                for j in range(i):
+                    coef_e = self.A_ex[i, j]
+                    coef_i = self.A_im[i, j]
+                    if coef_e:
+                        rhs = rhs + (dt * coef_e) * Fs[j]
+                    if coef_i:
+                        rhs = rhs + (dt * coef_i) * Gs[j]
+                gamma = self.A_im[i, i]
+                if gamma:
+                    Qi = self.solver.solve(rhs, gamma * dt)
+                else:
+                    Qi = rhs
+            F, aux = self.rhs_ex(Qi, aux, ti)
+            G, _ = self.rhs_im(Qi, aux, ti)
+            Fs.append(F)
+            Gs.append(G)
+        out = q
+        for i in range(self.nstages):
+            if self.B[i]:
+                out = out + (dt * self.B[i]) * (Fs[i] + Gs[i])
+        return out, aux
+
+
+def ARK1ForwardBackwardEuler(rhs_ex, rhs_im, solver, dt):
+    """IMEX Euler (reference :690)."""
+    A_ex = [[0.0, 0.0], [1.0, 0.0]]
+    A_im = [[0.0, 0.0], [0.0, 1.0]]
+    B = [0.0, 1.0]
+    C = [0.0, 1.0]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
+
+
+def ARK2ImplicitExplicitMidpoint(rhs_ex, rhs_im, solver, dt):
+    """IMEX midpoint (reference :768)."""
+    A_ex = [[0.0, 0.0], [0.5, 0.0]]
+    A_im = [[0.0, 0.0], [0.0, 0.5]]
+    B = [0.0, 1.0]
+    C = [0.0, 0.5]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
+
+
+def ARK2GiraldoKellyConstantinescu(rhs_ex, rhs_im, solver, dt,
+                                   paperversion: bool = False):
+    """2nd-order 3-stage ARK2 (reference :839; Giraldo, Kelly &
+    Constantinescu 2013)."""
+    s2 = math.sqrt(2.0)
+    a32 = (3 + 2 * s2) / 6 if paperversion else 0.5
+    A_ex = [[0.0, 0.0, 0.0],
+            [2 - s2, 0.0, 0.0],
+            [1 - a32, a32, 0.0]]
+    g = 1 - 1 / s2
+    A_im = [[0.0, 0.0, 0.0],
+            [g, g, 0.0],
+            [1 / (2 * s2), 1 / (2 * s2), g]]
+    B = [1 / (2 * s2), 1 / (2 * s2), g]
+    C = [0.0, 2 - s2, 1.0]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
+
+
+def ARK548L2SA2KennedyCarpenter(rhs_ex, rhs_im, solver, dt):
+    """8-stage 5th-order ARK (reference :1003; Kennedy & Carpenter 2019
+    ARK5(4)8L[2]SA₂).  Coefficients from the published paper."""
+    g = 2.0 / 9.0
+    A_im = np.zeros((8, 8))
+    A_ex = np.zeros((8, 8))
+    # implicit (ESDIRK) nonzero entries
+    A_im[1, 0] = g; A_im[1, 1] = g
+    A_im[2, 0] = 2366667076620.0 / 8822750406821.0
+    A_im[2, 1] = 2366667076620.0 / 8822750406821.0
+    A_im[2, 2] = g
+    A_im[3, 0] = -257962897183.0 / 4451812247028.0
+    A_im[3, 1] = -257962897183.0 / 4451812247028.0
+    A_im[3, 2] = 128530224461.0 / 14379561246022.0
+    A_im[3, 3] = g
+    A_im[4, 0] = -486229321650.0 / 11227943450093.0
+    A_im[4, 1] = -486229321650.0 / 11227943450093.0
+    A_im[4, 2] = -225633144460.0 / 6633558740617.0
+    A_im[4, 3] = 1741320951451.0 / 6824444397158.0
+    A_im[4, 4] = g
+    A_im[5, 0] = 621307788657.0 / 4714163060173.0
+    A_im[5, 1] = 621307788657.0 / 4714163060173.0
+    A_im[5, 2] = -125196015625.0 / 3866852212004.0
+    A_im[5, 3] = 940440206406.0 / 7593089888465.0
+    A_im[5, 4] = 961109811699.0 / 6734810228204.0
+    A_im[5, 5] = g
+    A_im[6, 0] = 2036305566805.0 / 6583108094622.0
+    A_im[6, 1] = 2036305566805.0 / 6583108094622.0
+    A_im[6, 2] = -3039402635899.0 / 4450598839912.0
+    A_im[6, 3] = -1829510709469.0 / 31102090912115.0
+    A_im[6, 4] = -286320471013.0 / 6931253422520.0
+    A_im[6, 5] = 8651533662697.0 / 9642993110008.0
+    A_im[6, 6] = g
+    b = [0.0, 0.0, 3517720773327.0 / 20256071687669.0,
+         4569610470461.0 / 17934693873752.0,
+         2819471173109.0 / 11655438449929.0,
+         3296210113763.0 / 10722700128969.0,
+         -1142099968913.0 / 5710983926999.0, g]
+    A_im[7, :] = b
+    # explicit nonzero entries
+    A_ex[1, 0] = 4.0 / 9.0
+    A_ex[2, 0] = 1.0 / 9.0
+    A_ex[2, 1] = 1183333538310.0 / 1827251437969.0
+    A_ex[3, 0] = 895379019517.0 / 9750411845327.0
+    A_ex[3, 1] = 477606656805.0 / 13473228687314.0
+    A_ex[3, 2] = -112564739183.0 / 9373365219272.0
+    A_ex[4, 0] = -4458043123994.0 / 13015289567637.0
+    A_ex[4, 1] = -2500665203865.0 / 9342069639922.0
+    A_ex[4, 2] = 983347055801.0 / 8893519644487.0
+    A_ex[4, 3] = 2185051477207.0 / 2551468980502.0
+    A_ex[5, 0] = -167316361917.0 / 17121522574472.0
+    A_ex[5, 1] = 1605541814917.0 / 7619724128744.0
+    A_ex[5, 2] = 991021770328.0 / 13052792161721.0
+    A_ex[5, 3] = 2342280609577.0 / 11279663441611.0
+    A_ex[5, 4] = 3012424348531.0 / 12792462456678.0
+    A_ex[6, 0] = 6680998715867.0 / 14310383562358.0
+    A_ex[6, 1] = 5029118570809.0 / 3897454228471.0
+    A_ex[6, 2] = 2415062538259.0 / 6382199904604.0
+    A_ex[6, 3] = -3924368632305.0 / 6964820224454.0
+    A_ex[6, 4] = -4331110370267.0 / 15021686902756.0
+    A_ex[6, 5] = -3944303808049.0 / 11994238218192.0
+    A_ex[7, 0] = 2193717860234.0 / 3570523412979.0
+    A_ex[7, 1] = 2193717860234.0 / 3570523412979.0
+    A_ex[7, 2] = 5952760925747.0 / 18750164281544.0
+    A_ex[7, 3] = -4412967128996.0 / 6196664114337.0
+    A_ex[7, 4] = 4151782504231.0 / 36106512998704.0
+    A_ex[7, 5] = 572599549169.0 / 6265429158920.0
+    A_ex[7, 6] = -457874356192.0 / 11306498036315.0
+    B = b
+    C = [0.0, 4.0 / 9.0, 6456083330201.0 / 8509243623797.0,
+         1632083962415.0 / 14158861528103.0,
+         6365430648612.0 / 17842476412687.0, 18.0 / 25.0, 191.0 / 200.0, 1.0]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
