@@ -141,15 +141,56 @@ class DGModel:
 
     # --- face helpers -------------------------------------------------------
 
-    def _gather_faces(self, x, faces):
-        """x: [E, Np, n] -> (xM, xP): [E, nf_active, Nfp, n]."""
+    def _face_minus(self, x):
+        """All minus-side face values by pure slicing of the block tensor
+        (no gather): [E, Np, n] -> [E, nface, Nfp_max, n], fmask order."""
         g = self.grid
-        flat = x.reshape((-1,) + x.shape[2:])
-        if self.exchange is not None:
-            flat = self.exchange(flat)
-        idxM = g.vmapM[:, faces, :]
-        idxP = g.vmapP[:, faces, :]
-        return flat[idxM], flat[idxP]
+        E, n = x.shape[0], x.shape[-1]
+        xb = _to_block(g, x)
+        out = []
+        if g.dim == 3:
+            sl = [xb[:, :, :, 0], xb[:, :, :, -1],    # f0/f1: (k, j)
+                  xb[:, :, 0, :], xb[:, :, -1, :],    # f2/f3: (k, i)
+                  xb[:, 0, :, :], xb[:, -1, :, :]]    # f4/f5: (j, i)
+        else:
+            sl = [xb[:, :, 0], xb[:, :, -1], xb[:, 0, :], xb[:, -1, :]]
+        for f, s in enumerate(sl):
+            v = s.reshape(E, -1, n)
+            if v.shape[1] < g.Nfp_max:
+                v = jnp.pad(v, ((0, 0), (0, g.Nfp_max - v.shape[1]), (0, 0)))
+            out.append(v)
+        return jnp.stack(out, axis=1)
+
+    def _gather_faces(self, x, faces):
+        """x: [E, Np, n] -> (xM, xP): [E, nf_active, Nfp, n].
+
+        TPU fast path (see Grid.face_nbr_row): minus side by slicing, plus
+        side by one row gather over [E*nface] face rows + orientation
+        one-hot einsum — replaces the reference's volume-node vmap⁻/vmap⁺
+        gathers (Grids.jl:200-215), which map to slow node-granular TPU
+        gathers.
+        """
+        g = self.grid
+        if g.face_nbr_row is None or self.exchange is not None:
+            # legacy/sharded path: node-space gathers with halo extension
+            flat = x.reshape((-1,) + x.shape[2:])
+            if self.exchange is not None:
+                flat = self.exchange(flat)
+            idxM = g.vmapM[:, faces, :]
+            idxP = g.vmapP[:, faces, :]
+            return flat[idxM], flat[idxP]
+
+        E, n = x.shape[0], x.shape[-1]
+        xM_all = self._face_minus(x)                       # [E, nface, Nfpm, n]
+        rows = xM_all.reshape(E * g.nface, g.Nfp_max * n)
+        nbr = rows[g.face_nbr_row]                         # row gather
+        nbr = nbr.reshape(E, g.nface, g.Nfp_max, n)
+        # apply orientation permutation: one-hot over the few codes present
+        xP_all = jnp.einsum("efc,fcpq,efqn->efpn", g.face_orient_onehot,
+                            g.face_perm_P, nbr)
+        if faces == tuple(range(g.nface)):
+            return xM_all, xP_all
+        return xM_all[:, faces], xP_all[:, faces]
 
     def _boundary_plus(self, tagged_fn, faces, nrm, qM, auxM, qP, auxP, t):
         """Overwrite (qP, auxP) on boundary faces with ghost states.

@@ -58,6 +58,7 @@ class _ShardGrid:
     elem_bctags: Tuple[int, ...]
     lift: jnp.ndarray
     coords: jnp.ndarray
+    face_nbr_row: object = None   # None => node-space gather path
 
     @property
     def nelem(self):
