@@ -43,7 +43,9 @@ class AtmosPhysics:
     orientation: Orientation = field(default_factory=FlatOrientation)
     ref_state: ReferenceState = field(default_factory=NoReferenceState)
     turbulence: Optional[object] = None     # TurbulenceClosure or None
-    moisture: Optional[object] = None       # DryModel == None for now
+    moisture: Optional[object] = None       # MoistureModel; None -> DryModel
+    tracers: Optional[object] = None        # NTracers or None
+    hyperdiffusion: Optional[object] = None  # DryBiharmonic etc.
 
 
 @dataclass(frozen=True)
@@ -62,11 +64,26 @@ class AtmosModel(BalanceLaw):
 
     def __init__(self, physics: AtmosPhysics, problem: AtmosProblem,
                  sources: Sequence = ()):
+        from climatemachine_tpu.atmos.moisture import DryModel
+        from climatemachine_tpu.atmos.tracers import NoTracers
+
+        if physics.moisture is None:
+            physics = AtmosPhysics(**{**physics.__dict__,
+                                      "moisture": DryModel()})
         self.physics = physics
         self.problem = problem
         self.sources = tuple(sources)
+        moist = physics.moisture
+        tracers = physics.tracers or NoTracers()
+        self.tracers = tracers
 
-        self.prog_spec = VarSpec(rho=1, rhou=3, rhoe=1)
+        prog_fields = dict(rho=1, rhou=3, rhoe=1)
+        if moist.vars_prognostic().num:
+            prog_fields["moisture"] = moist.vars_prognostic()
+        if tracers.vars_prognostic().num:
+            prog_fields["tracers"] = tracers.vars_prognostic()
+        self.prog_spec = VarSpec(**prog_fields)
+
         aux_fields = dict(coord=3,
                           orientation=physics.orientation.vars_aux())
         rs_spec = physics.ref_state.vars_aux()
@@ -76,11 +93,23 @@ class AtmosModel(BalanceLaw):
             tspec = physics.turbulence.vars_aux()
             if tspec.num:
                 aux_fields["turbulence"] = tspec
+        if moist.vars_aux().num:
+            aux_fields["moisture"] = moist.vars_aux()
         self.aux_spec = VarSpec(**aux_fields)
 
+        # gradient machinery is active iff a turbulence closure provides
+        # the diffusivity (reference: D_t from turbulence_tensors)
         if physics.turbulence is not None:
-            self.grad_spec = physics.turbulence.vars_gradient()
-            self.gf_spec = physics.turbulence.vars_gradient_flux()
+            gfields = physics.turbulence.vars_gradient().field_dict()
+            gffields = physics.turbulence.vars_gradient_flux().field_dict()
+            if moist.vars_gradient().num:
+                gfields["moisture"] = moist.vars_gradient()
+                gffields["moisture"] = moist.vars_gradient_flux()
+            if tracers.vars_gradient().num:
+                gfields["tracers"] = tracers.vars_gradient()
+                gffields["tracers"] = tracers.vars_gradient_flux()
+            self.grad_spec = VarSpec(**gfields)
+            self.gf_spec = VarSpec(**gffields)
         else:
             self.grad_spec = VarSpec()
             self.gf_spec = VarSpec()
@@ -114,16 +143,17 @@ class AtmosModel(BalanceLaw):
 
     # --- thermodynamics -----------------------------------------------------
     def recover_thermo(self, q, aux):
-        """(T, p, u) recomputed from conserved state (dry)."""
-        ps = self.param_set
+        """(T, p, u) from conserved state via the moisture model (cached
+        saturation adjustment for EquilMoist)."""
+        T, p, _ = self.physics.moisture.thermo(self, q, aux)
         rho = self.prog(q, "rho")
-        rhou = self.prog(q, "rhou")
-        rhoe = self.prog(q, "rhoe")
-        Phi = self.aux_get(aux, "orientation.Phi")
-        e_int = td.internal_energy_from_state(rho, rhoe, rhou, Phi)
-        T = td.air_temperature(ps, e_int)
-        p = td.air_pressure(ps, T, rho)
-        return T, p, rhou / rho[..., None]
+        return T, p, self.prog(q, "rhou") / rho[..., None]
+
+    def thermo_full(self, q, aux):
+        """(T, p, u, PhasePartition-or-None)."""
+        T, p, pp = self.physics.moisture.thermo(self, q, aux)
+        rho = self.prog(q, "rho")
+        return T, p, self.prog(q, "rhou") / rho[..., None], pp
 
     # --- initialization -----------------------------------------------------
     def nodal_init_state_auxiliary(self, geom, aux):
@@ -153,7 +183,7 @@ class AtmosModel(BalanceLaw):
         rho = self.prog(q, "rho")
         rhou = self.prog(q, "rhou")
         rhoe = self.prog(q, "rhoe")
-        T, p, u = self.recover_thermo(q, aux)
+        T, p, u, pp = self.thermo_full(q, aux)
 
         p_eff = p
         if self.ref_state.subtract_off:
@@ -169,32 +199,62 @@ class AtmosModel(BalanceLaw):
         Fm = Fm + p_eff[..., None, None] * eye
         F = s.set(F, "rhou", Fm)
         F = s.set(F, "rhoe", (rhoe + p)[..., None] * u)
+        # advected moisture / tracer scalars (reference
+        # tendencies_moisture.jl:9, tendencies_tracers.jl Advect)
+        if self.physics.moisture.vars_prognostic().num:
+            rq = s.get(q, "moisture.rhoq_tot")
+            F = s.set(F, "moisture.rhoq_tot", rq[..., None] * u)
+            names = self.physics.moisture.vars_prognostic().names()
+            for nm in names:
+                if nm == "rhoq_tot":
+                    continue
+                v = s.get(q, f"moisture.{nm}")
+                F = s.set(F, f"moisture.{nm}", v[..., None] * u)
+        if self.tracers.N:
+            chi = s.get(q, "tracers.rhochi")        # [..., N]
+            F = s.set(F, "tracers.rhochi", u[..., :, None] * chi[..., None, :])
         return F
 
     def wavespeed(self, nrm, q, aux, t):
-        rho = self.prog(q, "rho")
-        T, p, u = self.recover_thermo(q, aux)
+        T, p, u, pp = self.thermo_full(q, aux)
         un = jnp.abs(jnp.sum(u * nrm, axis=-1))
-        return un + td.soundspeed_air(self.param_set, T)
+        return un + td.soundspeed_air(self.param_set, T, pp)
 
-    # --- second-order (delegated to turbulence closure) ---------------------
+    # --- auxiliary update ---------------------------------------------------
+    def nodal_update_auxiliary_state(self, q, aux, t):
+        """Thermo cache refresh (reference update_auxiliary_state!
+        AtmosModel.jl:859-877 nodal thermo/moisture update)."""
+        return self.physics.moisture.update_aux(self, q, aux, t)
+
+    # --- second-order (turbulence + moisture + tracers) ---------------------
     def compute_gradient_argument(self, q, aux, t):
         turb = self.physics.turbulence
         if turb is None:
             return super().compute_gradient_argument(q, aux, t)
-        return turb.gradient_argument(self, q, aux, t)
+        out = turb.gradient_argument(self, q, aux, t)
+        out = self.physics.moisture.gradient_argument(self, q, aux, t, out)
+        out = self.tracers.gradient_argument(self, q, aux, t, out)
+        return out
 
     def compute_gradient_flux(self, grad_g, q, aux, t):
         turb = self.physics.turbulence
         if turb is None:
             return super().compute_gradient_flux(grad_g, q, aux, t)
-        return turb.gradient_flux(self, grad_g, q, aux, t)
+        out = turb.gradient_flux(self, grad_g, q, aux, t)
+        out = self.physics.moisture.gradient_flux(self, grad_g, q, aux, t,
+                                                  out)
+        out = self.tracers.gradient_flux(self, grad_g, q, aux, t, out)
+        return out
 
     def flux_second_order(self, q, gf, hyper, aux, t):
         turb = self.physics.turbulence
         if turb is None:
             return super().flux_second_order(q, gf, hyper, aux, t)
-        return turb.flux(self, q, gf, aux, t)
+        F = turb.flux(self, q, gf, aux, t)
+        _, D_t = turb.viscosity(self, q, gf, aux, t)
+        F = self.physics.moisture.flux_second_order(self, q, gf, aux, D_t, F)
+        F = self.tracers.flux_second_order(self, q, gf, aux, D_t, F)
+        return F
 
     # --- sources ------------------------------------------------------------
     def source(self, q, gf, aux, t):

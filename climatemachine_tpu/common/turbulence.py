@@ -79,9 +79,7 @@ class TurbulenceClosure:
 
     # --- pipeline ----------------------------------------------------------
     def gradient_argument(self, model, q, aux, t):
-        ps = model.param_set
         rho = model.prog(q, "rho")
-        rhou = model.prog(q, "rhou")
         rhoe = model.prog(q, "rhoe")
         T, p, u = model.recover_thermo(q, aux)
         spec = model.grad_spec
@@ -90,9 +88,19 @@ class TurbulenceClosure:
         h_tot = (rhoe + p) / rho
         out = spec.set(out, "h_tot", h_tot)
         if self.needs_theta_v:
-            theta_v = T * (ps.MSLP / p) ** ps.kappa_d
-            out = spec.set(out, "theta_v", theta_v)
+            out = spec.set(out, "theta_v", self._theta_v(model, q, aux))
         return out
+
+    @staticmethod
+    def _theta_v(model, q, aux):
+        """θ_v from the moisture model's aux cache (reference reads
+        aux.moisture.θ_v, TurbulenceClosures.jl:452-456)."""
+        try:
+            return model.aux_get(aux, "moisture.theta_v")
+        except KeyError:
+            ps = model.param_set
+            T, p, _ = model.recover_thermo(q, aux)
+            return T * (ps.MSLP / p) ** ps.kappa_d
 
     def gradient_flux(self, model, grad_g, q, aux, t):
         """grad_g: [..., 3(coord), ng] -> packed gradient-flux state."""
@@ -105,12 +113,10 @@ class TurbulenceClosure:
         sl_h = gspec.index("h_tot")
         out = fspec.set(out, "d_h_tot", grad_g[..., :, sl_h.start])
         if self.needs_theta_v:
-            ps = model.param_set
             sl_t = gspec.index("theta_v")
             grad_tv = grad_g[..., :, sl_t.start]
             grad_Phi = model.aux_get(aux, "orientation.grad_Phi")
-            theta_v = gspec.get(self.gradient_argument(model, q, aux, t),
-                                "theta_v")
+            theta_v = self._theta_v(model, q, aux)
             N2 = jnp.sum(grad_tv * grad_Phi, axis=-1) / theta_v
             out = fspec.set(out, "N2", N2)
         return out
@@ -207,12 +213,10 @@ class Vreman(TurbulenceClosure):
                         grad_u.reshape(grad_u.shape[:-2] + (9,)))
         sl_h = gspec.index("h_tot")
         out = fspec.set(out, "d_h_tot", grad_g[..., :, sl_h.start])
-        ps = model.param_set
         sl_t = gspec.index("theta_v")
         grad_tv = grad_g[..., :, sl_t.start]
         grad_Phi = model.aux_get(aux, "orientation.grad_Phi")
-        theta_v = gspec.get(self.gradient_argument(model, q, aux, t),
-                            "theta_v")
+        theta_v = self._theta_v(model, q, aux)
         N2 = jnp.sum(grad_tv * grad_Phi, axis=-1) / theta_v
         out = fspec.set(out, "N2", N2)
         return out

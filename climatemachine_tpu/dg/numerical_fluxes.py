@@ -61,17 +61,18 @@ class CentralNumericalFluxGradient(NumericalFluxGradient):
 
 
 class NumericalFluxSecondOrder:
-    def __call__(self, bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t):
+    def __call__(self, bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t,
+                 hyperM=None, hyperP=None):
         raise NotImplementedError
 
 
 class CentralNumericalFluxSecondOrder(NumericalFluxSecondOrder):
     """F2* = 1/2 (F2(q-, gf-) + F2(q+, gf+)) . n (reference :668)."""
 
-    def __call__(self, bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t):
-        hyper = None
-        FM = bl.flux_second_order(qM, gfM, hyper, auxM, t)
-        FP = bl.flux_second_order(qP, gfP, hyper, auxP, t)
+    def __call__(self, bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t,
+                 hyperM=None, hyperP=None):
+        FM = bl.flux_second_order(qM, gfM, hyperM, auxM, t)
+        FP = bl.flux_second_order(qP, gfP, hyperP, auxP, t)
         return 0.5 * jnp.einsum("...ci,...c->...i", FM + FP, nrm)
 
 

@@ -250,6 +250,58 @@ class DGModel:
         grad = grad + self._lift(sM * corr, faces)
         return grad
 
+    # --- generic LDG helpers (hyperdiffusion chain) --------------------------
+
+    def dg_gradient_of(self, x, direction: Optional[str] = None):
+        """Central-flux DG gradient of arbitrary fields x [E, Np, n] ->
+        [E, Np, ncoord, n] (reference volume_gradients! /
+        dgsem_interface_gradients!, DGModel_kernels.jl:934/:1365)."""
+        g = self.grid
+        direction = direction or self.diffusion_direction
+        dims = direction_dims(direction, g.dim)
+        faces = direction_faces(direction, g.dim)
+        grad = strong_gradient(g, x, dims)
+        xM, xP = self._gather_faces(x, faces)
+        nrm = g.normals[:, faces, :, :]
+        corr = nrm[..., :, None] * (0.5 * (xP + xM) - xM)[..., None, :]
+        sM = g.sM[:, faces, :, None, None]
+        return grad + self._lift(sM * corr, faces)
+
+    def dg_divergence_of(self, v, direction: Optional[str] = None):
+        """Central-flux DG divergence of v [E, Np, ncoord, n] -> [E, Np, n]
+        (reference volume_divergence_of_gradients,
+        DGModel_kernels.jl:2132-2400)."""
+        g = self.grid
+        direction = direction or self.diffusion_direction
+        dims = direction_dims(direction, g.dim)
+        faces = direction_faces(direction, g.dim)
+        # strong divergence: sum_a xi_a,x_i D_a v_i
+        div = 0.0
+        vb = v
+        for a in dims:
+            dva = _to_flat(g, _apply_D(g, _to_block(g, v), a))  # [E,Np,3,n]
+            div = div + jnp.sum(g.xi_x[:, :, a, :, None] * dva, axis=2)
+        # interface central correction: n·(v* - v-)
+        E, n = v.shape[0], v.shape[-1]
+        vflat = v.reshape(E, g.Np, 3 * n)
+        vM, vP = self._gather_faces(vflat, faces)
+        vM = vM.reshape(vM.shape[:-1] + (3, n))
+        vP = vP.reshape(vP.shape[:-1] + (3, n))
+        nrm = g.normals[:, faces, :, :]
+        corr = jnp.einsum("efpc,efpcn->efpn", nrm, 0.5 * (vP + vM) - vM)
+        sM = g.sM[:, faces, :, None]
+        return div + self._lift(sM * corr, faces)
+
+    def hyperdiffusive_state(self, q, aux, t):
+        """∇(Δ(g)) chain (reference DGModel.jl:226-310: two extra halo
+        rounds; under shard_map the face gathers carry them)."""
+        bl = self.balance_law
+        gl = bl.compute_gradient_laplacian_argument(q, aux, t)
+        grad = self.dg_gradient_of(gl)
+        lap = self.dg_divergence_of(grad)
+        grad_lap = self.dg_gradient_of(lap)
+        return bl.transform_post_gradient_laplacian(grad_lap, q, aux, t)
+
     # --- full RHS -------------------------------------------------------------
 
     def __call__(self, q, aux, t):
@@ -265,10 +317,14 @@ class DGModel:
             grad_g = self.spatial_gradient(q, aux, t)
             gf = bl.compute_gradient_flux(grad_g, q, aux, t)
 
+        hyper = None
+        if bl.num_state(st.Hyperdiffusive()) > 0:
+            hyper = self.hyperdiffusive_state(q, aux, t)
+
         # volume: M^{-1} D^T M F_xi
         F = bl.flux_first_order(q, aux, t)
-        if gf is not None:
-            F = F + bl.flux_second_order(q, gf, None, aux, t)
+        if gf is not None or hyper is not None:
+            F = F + bl.flux_second_order(q, gf, hyper, aux, t)
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
         F_xi = jnp.einsum("enai,eniv->enav", g.xi_x, F)
         tendency = g.MI[..., None] * weak_divergence(g, F_xi, dims)
@@ -284,13 +340,20 @@ class DGModel:
         qP, auxP = self._boundary_plus(ghost, faces, nrm, qM, auxM, qP, auxP, t)
         fstar = self.nf1(bl, nrm, qM, auxM, qP, auxP, t)
 
-        if gf is not None:
-            gfM, gfP = self._gather_faces(gf, faces)
-            bctag = g.face_bctag[:, faces]
-            for tag in g.elem_bctags:
-                gfB = bl.boundary_state_gradient_flux(tag, nrm, gfM, qM, auxM, t)
-                gfP = jnp.where((bctag == tag)[..., None, None], gfB, gfP)
-            fstar = fstar + self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP, t)
+        if gf is not None or hyper is not None:
+            gfM = gfP = None
+            if gf is not None:
+                gfM, gfP = self._gather_faces(gf, faces)
+                bctag = g.face_bctag[:, faces]
+                for tag in g.elem_bctags:
+                    gfB = bl.boundary_state_gradient_flux(tag, nrm, gfM, qM,
+                                                          auxM, t)
+                    gfP = jnp.where((bctag == tag)[..., None, None], gfB, gfP)
+            hyM = hyP = None
+            if hyper is not None:
+                hyM, hyP = self._gather_faces(hyper, faces)
+            fstar = fstar + self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP,
+                                     t, hyM, hyP)
 
         sM = g.sM[:, faces, :, None]
         tendency = tendency - self._lift(sM * fstar, faces)

@@ -188,26 +188,41 @@ def phase_partition_equil(ps: PlanetParameterSet, T, rho, q_tot):
 
 
 def saturation_adjustment(ps: PlanetParameterSet, e_int, rho, q_tot,
-                          n_iter: int = 8):
+                          n_iter: int = 6, n_bisect: int = 30):
     """Equilibrium temperature T s.t. e_int == internal_energy(T, q_eq(T)).
 
-    Fixed-iteration Newton with a numerically-differentiated residual
-    (matches the reference's saturation-adjustment behavior,
-    Thermodynamics.jl `PhaseEquil`); unsaturated points converge on the
-    first step to the analytic dry/vapor temperature.
+    Bracketed bisection on [T_min, T_max] followed by Newton polish —
+    e_int_eq(T) is monotone in T but only piecewise-smooth (the Heaviside
+    liquid fraction at freezing), so plain Newton can stall on a false
+    root; the reference uses a bounded secant for the same reason
+    (Thermodynamics.jl `PhaseEquil` with SecantMethod).  All loops have
+    static trip counts (jit-friendly, fully fused).
+
+    Unsaturated points short-circuit to the analytic all-vapor
+    temperature.
     """
-    # first guess: all-vapor temperature
-    T = air_temperature(ps, e_int, PhasePartition.vapor(q_tot))
-    T = jnp.maximum(T, ps.T_min)
+    T_vap = air_temperature(ps, e_int, PhasePartition.vapor(q_tot))
+    T_vap = jnp.clip(T_vap, ps.T_min, ps.T_max)
+    unsaturated = q_tot <= q_vap_saturation(ps, T_vap, rho)
 
     def resid(T):
         q = phase_partition_equil(ps, T, rho, q_tot)
         return internal_energy(ps, T, q) - e_int
 
+    lo = jnp.full_like(T_vap, ps.T_min)
+    hi = jnp.full_like(T_vap, ps.T_max)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        f = resid(mid)
+        lo = jnp.where(f < 0, mid, lo)
+        hi = jnp.where(f < 0, hi, mid)
+    T = 0.5 * (lo + hi)
+
     dT = 1e-3
     for _ in range(n_iter):
         f = resid(T)
         df = (resid(T + dT) - f) / dT
-        T = T - f / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
-        T = jnp.clip(T, ps.T_min, ps.T_max)
-    return T
+        Tn = T - f / jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
+        # keep the Newton step inside the bisection bracket
+        T = jnp.clip(Tn, lo, hi)
+    return jnp.where(unsaturated, T_vap, T)

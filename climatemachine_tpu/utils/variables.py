@@ -113,6 +113,16 @@ class VarSpec:
     def names(self) -> Sequence[str]:
         return list(self._fields.keys())
 
+    def field_dict(self):
+        """{name: shape-or-VarSpec} suitable to rebuild/compose specs."""
+        out = {}
+        for name, ent in self._fields.items():
+            if ent[0] == "sub":
+                out[name] = VarSpec(**ent[1].field_dict())
+            else:
+                out[name] = ent[2] if ent[2] else 1
+        return out
+
     def __repr__(self):
         return f"VarSpec({', '.join(self.flattened_names())})"
 
