@@ -95,7 +95,17 @@ class AtmosModel(BalanceLaw):
                 aux_fields["turbulence"] = tspec
         if moist.vars_aux().num:
             aux_fields["moisture"] = moist.vars_aux()
+        hyper = physics.hyperdiffusion
+        if hyper is not None and hyper.vars_aux().num:
+            aux_fields["hyperdiffusion"] = hyper.vars_aux()
         self.aux_spec = VarSpec(**aux_fields)
+
+        self.gradlap_spec = (hyper.vars_gradient_laplacian()
+                             if hyper is not None else VarSpec())
+        self.hyper_spec = (hyper.vars_hyperdiffusive()
+                           if hyper is not None else VarSpec())
+        self.hyperdiffusion_direction = (getattr(hyper, "direction", None)
+                                         if hyper is not None else None)
 
         # gradient machinery is active iff a turbulence closure provides
         # the diffusivity (reference: D_t from turbulence_tensors)
@@ -139,6 +149,10 @@ class AtmosModel(BalanceLaw):
             return self.grad_spec
         if isinstance(state_type, st.GradientFlux):
             return self.gf_spec
+        if isinstance(state_type, st.GradientLaplacian):
+            return self.gradlap_spec
+        if isinstance(state_type, st.Hyperdiffusive):
+            return self.hyper_spec
         return VarSpec()
 
     # --- thermodynamics -----------------------------------------------------
@@ -170,6 +184,8 @@ class AtmosModel(BalanceLaw):
                 aux = self.aux_spec.set(aux, f"ref_state.{name}", val)
         if self.physics.turbulence is not None:
             aux = self.physics.turbulence.init_aux(self, geom, aux)
+        if self.physics.hyperdiffusion is not None:
+            aux = self.physics.hyperdiffusion.init_aux(self, geom, aux)
         return aux
 
     def init_state_prognostic(self, coords, aux, t):
@@ -246,14 +262,31 @@ class AtmosModel(BalanceLaw):
         out = self.tracers.gradient_flux(self, grad_g, q, aux, t, out)
         return out
 
+    def compute_gradient_laplacian_argument(self, q, aux, t):
+        hd = self.physics.hyperdiffusion
+        if hd is None:
+            return super().compute_gradient_laplacian_argument(q, aux, t)
+        return hd.gradient_laplacian_argument(self, q, aux, t)
+
+    def transform_post_gradient_laplacian(self, grad_lap, q, aux, t):
+        hd = self.physics.hyperdiffusion
+        if hd is None:
+            return super().transform_post_gradient_laplacian(
+                grad_lap, q, aux, t)
+        return hd.transform(self, grad_lap, q, aux, t)
+
     def flux_second_order(self, q, gf, hyper, aux, t):
         turb = self.physics.turbulence
-        if turb is None:
-            return super().flux_second_order(q, gf, hyper, aux, t)
-        F = turb.flux(self, q, gf, aux, t)
-        _, D_t = turb.viscosity(self, q, gf, aux, t)
-        F = self.physics.moisture.flux_second_order(self, q, gf, aux, D_t, F)
-        F = self.tracers.flux_second_order(self, q, gf, aux, D_t, F)
+        n = self.prog_spec.num
+        F = jnp.zeros(q.shape[:-1] + (3, n), dtype=q.dtype)
+        if turb is not None and gf is not None:
+            F = F + turb.flux(self, q, gf, aux, t)
+            _, D_t = turb.viscosity(self, q, gf, aux, t)
+            F = self.physics.moisture.flux_second_order(self, q, gf, aux,
+                                                        D_t, F)
+            F = self.tracers.flux_second_order(self, q, gf, aux, D_t, F)
+        if self.physics.hyperdiffusion is not None and hyper is not None:
+            F = self.physics.hyperdiffusion.flux(self, q, hyper, aux, F)
         return F
 
     # --- sources ------------------------------------------------------------

@@ -86,6 +86,12 @@ class BalanceLaw:
         return jnp.zeros(q.shape[:-1] + (3, n), dtype=q.dtype)
 
     # ------ hyperdiffusion ---------------------------------------------------
+    def compute_gradient_laplacian_argument(self, q, aux, t):
+        """Fields whose Laplacian feeds the hyperdiffusion chain
+        [..., n_gradlap]."""
+        n = self.num_state(st.GradientLaplacian())
+        return jnp.zeros(q.shape[:-1] + (n,), dtype=q.dtype)
+
     def transform_post_gradient_laplacian(self, grad_lap, q, aux, t):
         """Map grad(Laplacian) [..., ncoord, n_gradlap] to hyperdiffusive
         state [..., n_hyper]."""
@@ -113,10 +119,24 @@ class BalanceLaw:
         """Pointwise aux refresh each RHS call (thermodynamics etc.)."""
         return aux
 
+    def preprocess_state(self, dg, q, aux, t):
+        """State transform applied at the start of every RHS evaluation
+        (reference: the ocean's per-RHS vertical filters on Q,
+        hydrostatic_boussinesq_model.jl:646-657).  Default: identity."""
+        return q
+
     def update_auxiliary_state(self, grid, q, aux, t):
         """Whole-grid aux update: default = nodal update; models override to
         add column integrals (reference update_auxiliary_state!)."""
         return self.nodal_update_auxiliary_state(q, aux, t)
+
+    def update_auxiliary_state_gradient(self, dg, gf, q, aux, t):
+        """Aux update that needs gradient-flux values (reference
+        update_auxiliary_state_gradient!, e.g. ocean w/pkin integrals,
+        hydrostatic_boussinesq_model.jl:668).  Called after the gradient
+        pass, before tendency assembly.  Returns (aux, q) — models may
+        also filter the state here (the reference mutates Q)."""
+        return aux, q
 
     # ------ column integrals (reference integral_load_auxiliary_state!) ------
     def integral_load_auxiliary_state(self, q, aux, t):

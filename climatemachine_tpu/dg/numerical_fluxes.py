@@ -42,7 +42,12 @@ class RusanovNumericalFlux(NumericalFluxFirstOrder):
         cM = bl.wavespeed(nrm, qM, auxM, t)
         cP = bl.wavespeed(nrm, qP, auxP, t)
         c = jnp.maximum(cM, cP)
-        return central - 0.5 * c[..., None] * (qP - qM)
+        dq = qP - qM
+        # model hook to adjust the dissipation term (reference
+        # update_penalty!, e.g. ocean Δη = 0)
+        if hasattr(bl, "numerical_flux_penalty"):
+            dq = bl.numerical_flux_penalty(nrm, qM, auxM, qP, auxP, dq)
+        return central - 0.5 * c[..., None] * dq
 
 
 class NumericalFluxGradient:

@@ -294,18 +294,26 @@ class DGModel:
 
     def hyperdiffusive_state(self, q, aux, t):
         """∇(Δ(g)) chain (reference DGModel.jl:226-310: two extra halo
-        rounds; under shard_map the face gathers carry them)."""
+        rounds; under shard_map the face gathers carry them).
+
+        Direction: the balance law may pin the chain's direction (the
+        atmos biharmonic closures are horizontal-only, reference HS
+        diffdir=HorizontalDirection) via ``hyperdiffusion_direction``.
+        """
         bl = self.balance_law
+        direction = getattr(bl, "hyperdiffusion_direction", None) \
+            or self.diffusion_direction
         gl = bl.compute_gradient_laplacian_argument(q, aux, t)
-        grad = self.dg_gradient_of(gl)
-        lap = self.dg_divergence_of(grad)
-        grad_lap = self.dg_gradient_of(lap)
+        grad = self.dg_gradient_of(gl, direction)
+        lap = self.dg_divergence_of(grad, direction)
+        grad_lap = self.dg_gradient_of(lap, direction)
         return bl.transform_post_gradient_laplacian(grad_lap, q, aux, t)
 
     # --- full RHS -------------------------------------------------------------
 
     def __call__(self, q, aux, t):
         bl, g = self.balance_law, self.grid
+        q = bl.preprocess_state(self, q, aux, t)
         if self.update_aux:
             aux = bl.update_auxiliary_state(g, q, aux, t)
 
@@ -316,6 +324,7 @@ class DGModel:
         if self.n_gradient > 0:
             grad_g = self.spatial_gradient(q, aux, t)
             gf = bl.compute_gradient_flux(grad_g, q, aux, t)
+            aux, q = bl.update_auxiliary_state_gradient(self, gf, q, aux, t)
 
         hyper = None
         if bl.num_state(st.Hyperdiffusive()) > 0:
@@ -382,7 +391,7 @@ def init_state_auxiliary(balance_law, grid):
         ncoord = grid.coords.shape[-1]
         aux = aux.at[..., spec.index("coord")].set(grid.coords[..., :ncoord])
     geom = {"coords": grid.coords, "J": grid.J, "JcV": grid.JcV,
-            "M": grid.M, "Nq": grid.Nq}
+            "M": grid.M, "Nq": grid.Nq, "xi_x": grid.xi_x}
     return balance_law.nodal_init_state_auxiliary(geom, aux)
 
 

@@ -124,7 +124,8 @@ class HeldSuarezConfig:
 
 def held_suarez_config(n_horz: int = 8, n_vert: int = 4, poly_order: int = 5,
                        domain_height: float = 30e3, dtype=None,
-                       param_set: PlanetParameterSet = EARTH):
+                       param_set: PlanetParameterSet = EARTH,
+                       hyperdiffusion_tau: float = 8 * 3600.0):
     """Build (model, grid) for Held-Suarez (reference config_heldsuarez,
     heldsuarez.jl:190-217: DecayingTemperatureProfile(290,220,8e3) reference
     state, Gravity+Coriolis+HS sources; default script n_horz=8, n_vert=4,
@@ -134,11 +135,18 @@ def held_suarez_config(n_horz: int = 8, n_vert: int = 4, poly_order: int = 5,
     topo = stacked_cubed_sphere_topology(n_horz, vert_range)
     grid = make_grid(topo, poly_order, dtype=dtype)
 
+    from climatemachine_tpu.atmos.hyperdiffusion import DryBiharmonic
     physics = AtmosPhysics(
         param_set=param_set,
         orientation=SphericalOrientation(),
         ref_state=HydrostaticState(
-            DecayingTemperatureProfile(290.0, 220.0, 8e3)))
+            DecayingTemperatureProfile(290.0, 220.0, 8e3)),
+        # reference config_heldsuarez: DryBiharmonic(8h) horizontal
+        # hyperdiffusion (heldsuarez.jl:211); the zero-viscosity
+        # ConstantKinematicViscosity(0) is intentionally omitted — it only
+        # pays gradient-machinery cost without physics
+        hyperdiffusion=(DryBiharmonic(hyperdiffusion_tau)
+                        if hyperdiffusion_tau else None))
     problem = AtmosProblem(init_state=held_suarez_init,
                            boundary_conditions=(AtmosBC(), AtmosBC()))
     model = AtmosModel(physics, problem,
