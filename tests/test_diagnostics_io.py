@@ -1,0 +1,140 @@
+"""I/O + interpolation + diagnostics tests (reference test/InputOutput,
+test/Diagnostics)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climatemachine_tpu.diagnostics import (DiagnosticsGroup,
+                                            HorizontalAverage,
+                                            PointwiseDiagnostic, StateCheck)
+from climatemachine_tpu.diagnostics.machine import (atmos_default_vars,
+                                                    atmos_les_profiles,
+                                                    horizontal_average)
+from climatemachine_tpu.io.vtk import writevtk
+from climatemachine_tpu.io.writers import NetCDFWriter
+from climatemachine_tpu.mesh.grid import make_grid
+from climatemachine_tpu.mesh.interpolation import (InterpolationBrick,
+                                                   InterpolationCubedSphere)
+from climatemachine_tpu.mesh.topology import (stacked_brick_topology,
+                                              stacked_cubed_sphere_topology)
+from climatemachine_tpu.physics.parameters import EARTH
+
+
+def _brick(nx=3, nz=4, poly=4, L=1000.0):
+    r = [np.linspace(0, L, nx + 1)] * 2 + [np.linspace(0, L, nz + 1)]
+    topo = stacked_brick_topology(r, periodicity=(True, True, False),
+                                  boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    return make_grid(topo, poly, dtype=np.float64)
+
+
+def test_interpolation_brick_exact_for_polynomials():
+    grid = _brick()
+    x, y, z = (grid.coords[..., i] for i in range(3))
+    f = (x ** 2 + 3 * y * z + z ** 3)[..., None]
+    itp = InterpolationBrick(grid,
+                             np.linspace(10, 990, 7),
+                             np.linspace(5, 995, 5),
+                             np.linspace(1, 999, 6))
+    out = itp(f)[..., 0]
+    X, Y, Z = np.meshgrid(np.linspace(10, 990, 7), np.linspace(5, 995, 5),
+                          np.linspace(1, 999, 6), indexing="ij")
+    expected = X ** 2 + 3 * Y * Z + Z ** 3
+    assert float(jnp.max(jnp.abs(out - expected))) < 1e-8 * expected.max()
+
+
+def test_interpolation_cubed_sphere_recovers_smooth_field():
+    a = EARTH.planet_radius
+    topo = stacked_cubed_sphere_topology(4, a + np.linspace(0, 30e3, 4))
+    grid = make_grid(topo, 4, dtype=np.float64)
+    c = grid.coords
+    r = jnp.linalg.norm(c, axis=-1)
+    lat = jnp.arcsin(jnp.clip(c[..., 2] / r, -1, 1))
+    lon = jnp.arctan2(c[..., 1], c[..., 0])
+    f = (jnp.sin(lat) ** 2 + jnp.cos(lat) * jnp.cos(lon)
+         + (r - a) / 30e3)[..., None]
+
+    lats = np.linspace(-80, 80, 9)
+    lons = np.linspace(-170, 170, 12)
+    rads = a + np.linspace(2e3, 28e3, 4)
+    itp = InterpolationCubedSphere(grid, lats, lons, rads)
+    out = itp(f)[..., 0]
+    LAT, LON, RAD = np.meshgrid(np.deg2rad(lats), np.deg2rad(lons), rads,
+                                indexing="ij")
+    expected = (np.sin(LAT) ** 2 + np.cos(LAT) * np.cos(LON)
+                + (RAD - a) / 30e3)
+    err = float(jnp.max(jnp.abs(out - expected)))
+    assert err < 2e-3  # smooth field, p4 resolution
+
+
+def test_vtk_writer(tmp_path):
+    grid = _brick(nx=2, nz=2, poly=2)
+    x = np.asarray(grid.coords[..., 0])
+    path = writevtk(str(tmp_path / "out"), grid, {"x": x})
+    content = open(path).read()
+    assert "UnstructuredGrid" in content and "Name=\"x\"" in content
+    assert os.path.getsize(path) > 1000
+
+
+def test_netcdf_writer_roundtrip(tmp_path):
+    import h5py
+    w = NetCDFWriter()
+    path = str(tmp_path / "diag.nc")
+    dims = {"z": np.linspace(0, 1, 5)}
+    w.init_data(path, dims, {"Tavg": (("z",), np.float64)})
+    w.append_data(path, {"Tavg": np.arange(5.0)}, 0.0)
+    w.append_data(path, {"Tavg": np.arange(5.0) + 1}, 10.0)
+    with h5py.File(path) as f:
+        assert f["time"].shape == (2,)
+        assert np.allclose(f["Tavg"][1], np.arange(5.0) + 1)
+        assert f["Tavg"].dims[1][0].name.endswith("z")
+
+
+def test_horizontal_average_and_group(tmp_path):
+    grid = _brick()
+    z = grid.coords[..., 2]
+    avg = horizontal_average(grid, z)
+    # horizontally averaging z must return each level's z value
+    Nq1, Nq2, Nq3 = grid.Nq
+    zlvl = np.asarray(z).reshape(grid.n_horz, grid.n_vert, Nq3,
+                                 Nq2 * Nq1)[0, :, :, 0].reshape(-1)
+    assert avg.shape[0] == grid.n_vert * Nq3
+    assert float(jnp.max(jnp.abs(avg - zlvl))) < 1e-9
+
+    # full group write path with an atmos model
+    from tests.test_atmos_dry import _box_model
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    model, g2 = _box_model()
+    dg = DGModel(model, g2)
+    q, aux = init_ode_state(dg)
+    group = DiagnosticsGroup("les_profiles", model, g2,
+                             atmos_les_profiles(model),
+                             writer=NetCDFWriter(),
+                             out_path=str(tmp_path / "prof.nc"))
+    group.write(q, aux, 0.0)
+    group.write(q, aux, 60.0)
+    import h5py
+    with h5py.File(str(tmp_path / "prof.nc")) as f:
+        assert f["time"].shape == (2,)
+        assert f["temp_avg"].shape[1] == g2.n_vert * g2.Nq[2]
+        assert np.all(np.isfinite(f["temp_avg"][:]))
+
+
+def test_state_check_refvals():
+    from types import SimpleNamespace
+    from climatemachine_tpu.utils.variables import VarSpec
+    spec = VarSpec(a=1, b=2)
+    rng = np.random.RandomState(0)
+    arr = rng.randn(10, 5, 3)
+    sc = StateCheck(tracked=((lambda s: arr, spec, "Q"),))
+    state = SimpleNamespace(q=None, aux=None, t=0.0, step=0)
+    snap = sc.snapshot(state)
+    assert ("Q", "a") in snap
+    # refvals round trip: exact match passes, perturbed fails
+    ns = {}
+    exec(sc.print_ref(), ns)
+    assert sc.do_check(ns["refvals"], 1e-12)
+    bad = {k: dict(v, mean=v["mean"] + 1.0) for k, v in ns["refvals"].items()}
+    assert not sc.do_check(bad, 1e-12)
