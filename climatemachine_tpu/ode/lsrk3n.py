@@ -1,0 +1,65 @@
+"""Runge-Kutta schemes published as 3N-storage in the reference.
+
+Scope of reference ``src/Numerics/ODESolvers/LowStorageRungeKutta3NMethod.jl``
+(LowStorageRungeKutta3N :59, LS3NRK44Classic :255, LS3NRK33Heuns :307 —
+the ocean split-explicit fast solver).
+
+TPU note: the 3N-storage register economy is an artifact of in-place GPU
+programming; under XLA the same classical tableaus are expressed directly
+(the compiler owns buffer reuse), so these are implemented as standard
+explicit RK with the identical update sequence and order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ExplicitRungeKutta:
+    """Standard explicit RK from a Butcher tableau."""
+
+    def __init__(self, rhs, dt, A, b, c):
+        self.rhs = rhs
+        self.dt = float(dt)
+        self.A = np.asarray(A, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self.c = np.asarray(c, dtype=np.float64)
+        self.nstages = len(self.b)
+        self.dt_fixed = True
+
+    def step(self, q, aux, t):
+        dt = self.dt
+        ks = []
+        for i in range(self.nstages):
+            qi = q
+            for j in range(i):
+                if self.A[i, j]:
+                    qi = qi + (dt * self.A[i, j]) * ks[j]
+            k, aux = self.rhs(qi, aux, t + self.c[i] * dt)
+            ks.append(k)
+        out = q
+        for i in range(self.nstages):
+            if self.b[i]:
+                out = out + (dt * self.b[i]) * ks[i]
+        return out, aux
+
+
+def LS3NRK44Classic(rhs, dt):
+    """Classical RK4 (reference :255)."""
+    A = [[0, 0, 0, 0],
+         [0.5, 0, 0, 0],
+         [0, 0.5, 0, 0],
+         [0, 0, 1.0, 0]]
+    b = [1 / 6, 1 / 3, 1 / 3, 1 / 6]
+    c = [0, 0.5, 0.5, 1.0]
+    return ExplicitRungeKutta(rhs, dt, A, b, c)
+
+
+def LS3NRK33Heuns(rhs, dt):
+    """Heun's third-order method (reference :307)."""
+    A = [[0, 0, 0],
+         [1 / 3, 0, 0],
+         [0, 2 / 3, 0]]
+    b = [0.25, 0.0, 0.75]
+    c = [0, 1 / 3, 2 / 3]
+    return ExplicitRungeKutta(rhs, dt, A, b, c)
