@@ -1,0 +1,146 @@
+"""Iterative linear & nonlinear solvers (matrix-free).
+
+Scope of reference ``src/Numerics/SystemSolvers/``: SystemSolvers.jl
+(:41-49 abstract types, linearsolve!), GMRES
+(generalized_minimal_residual_solver.jl), BatchedGMRES
+(batched_generalized_minimal_residual_solver.jl — many independent
+per-column solves batched on device), CG
+(conjugate_gradient_solver.jl), JFNK
+(jacobian_free_newton_krylov_solver.jl), preconditioners.jl.
+
+TPU-first: solvers are written for ONE system as pure functions with
+static iteration counts (lax.fori-style unrolled loops), then **batched
+with jax.vmap** — the reference's hand-written batched-GMRES kernels
+(:500-:535) become a one-line transform.  Early exit is traded for fixed
+iteration counts (XLA-friendly); callers pick counts from spectral
+bounds, and residuals are returned for verification.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gmres(op: Callable, b, x0=None, n_krylov: int = 20, restarts: int = 1,
+          precond: Optional[Callable] = None):
+    """Restarted GMRES for op(x) = b on flat arrays.
+
+    Returns (x, residual_norm).  ``precond``: right preconditioner
+    M⁻¹ (op(M⁻¹ y) = b solved for y = M x).
+    """
+    b = b.reshape(-1)
+    n = b.shape[0]
+    M = precond or (lambda v: v)
+
+    def A(v):
+        return op(M(v).reshape(b.shape)).reshape(-1)
+
+    x = jnp.zeros_like(b) if x0 is None else x0.reshape(-1)
+
+    def cycle(x):
+        r = b - A(x)
+        beta = jnp.linalg.norm(r)
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        V = jnp.zeros((n_krylov + 1, n), dtype=b.dtype)
+        V = V.at[0].set(r / safe_beta)
+        H = jnp.zeros((n_krylov + 1, n_krylov), dtype=b.dtype)
+        for j in range(n_krylov):
+            w = A(V[j])
+            # modified Gram-Schmidt
+            for i in range(j + 1):
+                hij = jnp.dot(V[i], w)
+                H = H.at[i, j].set(hij)
+                w = w - hij * V[i]
+            hn = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hn)
+            V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
+        # least squares min ||beta e1 - H y||
+        e1 = jnp.zeros((n_krylov + 1,), dtype=b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + V[:n_krylov].T @ y
+
+    for _ in range(restarts):
+        x = cycle(x)
+    resid = jnp.linalg.norm(b - A(x))
+    return M(x), resid
+
+
+def batched_gmres(op: Callable, b, n_krylov: int = 20, restarts: int = 1,
+                  precond: Optional[Callable] = None):
+    """Batched GMRES: op acts independently on each row of b [B, n]
+    (reference BatchedGeneralizedMinimalResidual, :37-:535) — vmap of the
+    single-system solver."""
+    single = lambda bi: gmres(lambda v: op(v[None])[0], bi,
+                              n_krylov=n_krylov, restarts=restarts,
+                              precond=precond)
+    xs, res = jax.vmap(single)(b)
+    return xs, res
+
+
+def conjugate_gradient(op: Callable, b, x0=None, n_iter: int = 50):
+    """CG for SPD op (reference conjugate_gradient_solver.jl)."""
+    b = b.reshape(-1)
+    x = jnp.zeros_like(b) if x0 is None else x0.reshape(-1)
+    r = b - op(x.reshape(b.shape)).reshape(-1)
+    p = r
+    rs = jnp.dot(r, r)
+    for _ in range(n_iter):
+        Ap = op(p.reshape(b.shape)).reshape(-1)
+        denom = jnp.dot(p, Ap)
+        alpha = rs / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.dot(r, r)
+        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        p = r + beta * p
+        rs = rs_new
+    resid = jnp.linalg.norm(b - op(x.reshape(b.shape)).reshape(-1))
+    return x, resid
+
+
+def newton_krylov(F: Callable, x0, n_newton: int = 5, n_krylov: int = 20,
+                  fd_eps: float = 1e-7):
+    """Jacobian-free Newton-Krylov: solve F(x) = 0 (reference
+    jacobian_free_newton_krylov_solver.jl): J·v ≈ (F(x+εv)−F(x))/ε."""
+    x = x0.reshape(-1)
+    shape = x0.shape
+
+    for _ in range(n_newton):
+        fx = F(x.reshape(shape)).reshape(-1)
+        scale = jnp.linalg.norm(x) + 1.0
+
+        def jv(v):
+            eps = fd_eps * scale / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+            return ((F((x + eps * v).reshape(shape)).reshape(-1) - fx)
+                    / eps)
+
+        dx, _ = gmres(lambda v: jv(v.reshape(-1)), -fx, n_krylov=n_krylov)
+        x = x + dx.reshape(-1)
+    resid = jnp.linalg.norm(F(x.reshape(shape)))
+    return x.reshape(shape), resid
+
+
+# --- preconditioners ---------------------------------------------------------
+
+class NoPreconditioner:
+    def __call__(self, v):
+        return v
+
+
+class ColumnwiseLUPreconditioner:
+    """Vertical-operator dense-inverse preconditioner (reference
+    preconditioners.jl ColumnwiseLUPreconditioner) built on
+    solvers.columnwise.ManyColumnSolver."""
+
+    def __init__(self, col_solver, alpha_dt: float):
+        self.col = col_solver
+        self.alpha_dt = float(alpha_dt)
+
+    def __call__(self, v):
+        shaped = v.reshape(self.col.layout.n_horz * self.col.layout.n_vert,
+                           self.col.layout.Np, self.col.layout.nvars)
+        return self.col.solve(shaped, self.alpha_dt).reshape(v.shape)
