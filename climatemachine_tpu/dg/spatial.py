@@ -361,6 +361,12 @@ class DGModel:
             hyM = hyP = None
             if hyper is not None:
                 hyM, hyP = self._gather_faces(hyper, faces)
+                # no hyperdiffusive transport through physical walls
+                # (keeps the chain exactly conservative; the discrete
+                # metric's radial leakage otherwise drains ~1e-9/step)
+                interior = (g.face_bctag[:, faces] == 0)[..., None, None]
+                hyM = jnp.where(interior, hyM, 0.0)
+                hyP = jnp.where(interior, hyP, 0.0)
             fstar = fstar + self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP,
                                      t, hyM, hyP)
 

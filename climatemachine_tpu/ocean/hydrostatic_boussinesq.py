@@ -53,7 +53,9 @@ class HydrostaticBoussinesqModel(BalanceLaw):
                  forcing: OceanForcing = None,
                  rho_o=1000.0, c_h=0.0, c_z=0.0, alpha_T=2e-4,
                  nu_h=5e3, nu_z=5e-3, kappa_h=1e3, kappa_z=1e-4,
-                 kappa_c=1e-1, f_o=1e-4, beta=1e-11):
+                 kappa_c=1e-1, f_o=1e-4, beta=1e-11,
+                 apply_vert_filters: bool = True):
+        self.apply_vert_filters = apply_vert_filters
         self.problem = problem
         self.param_set = param_set
         self.coupling = coupling or oc.Uncoupled()
@@ -127,6 +129,8 @@ class HydrostaticBoussinesqModel(BalanceLaw):
 
     # --- per-RHS filters (reference update_auxiliary_state!, :626-663) ------
     def preprocess_state(self, dg, q, aux, t):
+        if not self.apply_vert_filters:
+            return q
         vert_cut, exp_f = self._vert_filters(dg.grid)
         qf = vert_cut(q, direction="vertical")
         q = self.prog_spec.set(q, "u", self.prog_spec.get(qf, "u"))
