@@ -75,6 +75,15 @@ class Insulating(EnergyBC):
 
 
 @dataclass(frozen=True)
+class BulkFormulaEnergy(EnergyBC):
+    """Bulk aerodynamic surface energy flux C_h |u| (h − h_sfc)
+    (reference bc_energy.jl BulkFormulaEnergy): fn_C_h and fn_T_sfc may be
+    callables of t."""
+    C_h: float = 1e-3
+    T_sfc: float = 300.0
+
+
+@dataclass(frozen=True)
 class PrescribedTemperature(EnergyBC):
     """Dirichlet surface temperature T_sfc(t) (reference bc_energy.jl)."""
     T_sfc: float

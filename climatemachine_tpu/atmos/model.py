@@ -46,6 +46,8 @@ class AtmosPhysics:
     moisture: Optional[object] = None       # MoistureModel; None -> DryModel
     tracers: Optional[object] = None        # NTracers or None
     hyperdiffusion: Optional[object] = None  # DryBiharmonic etc.
+    precipitation: Optional[object] = None   # RainModel or None
+    viscoussponge: Optional[object] = None   # UpperAtmosSponge or None
 
 
 @dataclass(frozen=True)
@@ -80,6 +82,10 @@ class AtmosModel(BalanceLaw):
         prog_fields = dict(rho=1, rhou=3, rhoe=1)
         if moist.vars_prognostic().num:
             prog_fields["moisture"] = moist.vars_prognostic()
+        if (physics.precipitation is not None
+                and physics.precipitation.vars_prognostic().num):
+            prog_fields["precipitation"] = \
+                physics.precipitation.vars_prognostic()
         if tracers.vars_prognostic().num:
             prog_fields["tracers"] = tracers.vars_prognostic()
         self.prog_spec = VarSpec(**prog_fields)
@@ -229,6 +235,10 @@ class AtmosModel(BalanceLaw):
         if self.tracers.N:
             chi = s.get(q, "tracers.rhochi")        # [..., N]
             F = s.set(F, "tracers.rhochi", u[..., :, None] * chi[..., None, :])
+        if self.physics.precipitation is not None and \
+                self.physics.precipitation.vars_prognostic().num:
+            F = self.physics.precipitation.flux_first_order(self, q, aux,
+                                                            F, u)
         return F
 
     def wavespeed(self, nrm, q, aux, t):
@@ -306,3 +316,40 @@ class AtmosModel(BalanceLaw):
     def boundary_state(self, tag, nrm, q_minus, aux_minus, t):
         bc = self.problem.boundary_conditions[tag - 1]
         return bc.ghost_state(self, nrm, q_minus, aux_minus, t)
+
+    def boundary_flux_second_order(self, tag, nrm, qM, gfM, auxM, t):
+        """Surface diffusive fluxes at walls (reference bc_momentum.jl
+        DragLaw, bc_energy.jl Insulating/BulkFormulaEnergy):
+        - Impenetrable(FreeSlip/NoSlip) + Insulating: zero wall flux
+        - DragLaw: F·n[ρu] = ρ C_d |u_t| u_t
+        - BulkFormulaEnergy: F·n[ρe] = ρ C_h |u_t| (h − h_sfc)
+        Returns the prescribed normal flux [..., n_prog]."""
+        from climatemachine_tpu.atmos import boundaryconditions as abc
+        if self.physics.turbulence is None:
+            return None
+        bc = self.problem.boundary_conditions[tag - 1]
+        s = self.prog_spec
+        rho = self.prog(qM, "rho")
+        out = jnp.zeros(qM.shape[:-1] + (s.num,), dtype=qM.dtype)
+
+        T, p, u = self.recover_thermo(qM, auxM)
+        un = jnp.sum(u * nrm, axis=-1, keepdims=True)
+        u_t = u - un * nrm
+        speed = jnp.linalg.norm(u_t, axis=-1)
+
+        mom = bc.momentum
+        drag = getattr(mom, "bc", mom)
+        if isinstance(drag, abc.DragLaw):
+            Fm = (rho * drag.C_drag * speed)[..., None] * u_t
+            out = s.set(out, "rhou", Fm)
+        en = bc.energy
+        if isinstance(en, abc.BulkFormulaEnergy):
+            ps = self.param_set
+            rhoe = self.prog(qM, "rhoe")
+            h = (rhoe + p) / rho
+            Phi = self.aux_get(auxM, "orientation.Phi")
+            h_sfc = (td.internal_energy(ps, en.T_sfc) + ps.R_d * en.T_sfc
+                     + Phi)
+            out = s.set(out, "rhoe",
+                        rho * en.C_h * speed * (h - h_sfc))
+        return out

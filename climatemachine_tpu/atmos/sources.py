@@ -71,6 +71,33 @@ class GeostrophicForcing(Source):
 
 
 @dataclass(frozen=True)
+class Subsidence(Source):
+    """Large-scale subsidence: advect energy/moisture down with a
+    prescribed w_sub(z) (reference multiphysics_types.jl:14: source uses
+    the stored diffusive gradients ∇h_tot/∇q_tot)."""
+    D: float    # divergence rate [1/s]: w_sub = -D z
+
+    def contributions(self, model, q, gf, aux, t):
+        if gf is None:
+            return {}
+        ps = model.param_set
+        rho = model.prog(q, "rho")
+        z = model.aux_get(aux, "orientation.Phi") / ps.grav
+        k = model.aux_get(aux, "orientation.grad_Phi") / ps.grav
+        w_sub = -self.D * z
+        out = {}
+        d_h = model.gf_spec.get(gf, "d_h_tot")
+        out["rhoe"] = -rho * w_sub * jnp.sum(d_h * k, axis=-1)
+        try:
+            d_q = model.gf_spec.get(gf, "moisture.d_q_tot")
+            out["moisture.rhoq_tot"] = \
+                -rho * w_sub * jnp.sum(d_q * k, axis=-1)
+        except KeyError:
+            pass
+        return out
+
+
+@dataclass(frozen=True)
 class RayleighSponge(Source):
     """Relax momentum to ρ u_relax above z_sponge (reference :103-160:
     β = α_max sin^γ(π/2 · (z-z_s)/(z_max-z_s)), S_ρu = -β (ρu - ρ u_relax))."""

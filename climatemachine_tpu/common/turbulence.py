@@ -133,6 +133,9 @@ class TurbulenceClosure:
         rhou = model.prog(q, "rhou")
         S = _unpack_sym(fspec.get(gf, "S"))
         nu, D_t = self.viscosity(model, q, gf, aux, t)
+        sponge = getattr(model.physics, "viscoussponge", None)
+        if sponge is not None:
+            nu, D_t = sponge.modify(model, aux, nu, D_t)
         tau = -2.0 * nu[..., :, None] * S             # diag(ν) @ S
         d_h_tot = fspec.get(gf, "d_h_tot")
 
@@ -143,6 +146,26 @@ class TurbulenceClosure:
               - (rho * 1.0)[..., None] * D_t * d_h_tot)
         F = model.prog_spec.set(F, "rhoe", Fe)
         return F
+
+
+@dataclass
+class UpperAtmosSponge:
+    """Viscosity amplification in an upper sponge layer (reference
+    TurbulenceClosures.jl:946 UpperAtmosSponge:
+    β = α_max sin^γ(π/2 (z-z_s)/(z_max-z_s)); ν,D_t,τ *= 1+β)."""
+    z_max: float
+    z_sponge: float
+    alpha_max: float = 1.0
+    gamma: float = 2.0
+
+    def modify(self, model, aux, nu, D_t):
+        ps = model.param_set
+        z = model.aux_get(aux, "orientation.Phi") / ps.grav
+        r = jnp.clip((z - self.z_sponge) / (self.z_max - self.z_sponge),
+                     0.0, 1.0)
+        beta = self.alpha_max * jnp.sin(jnp.pi / 2 * r) ** self.gamma
+        amp = (1.0 + beta)[..., None]
+        return nu * amp, D_t * amp
 
 
 @dataclass

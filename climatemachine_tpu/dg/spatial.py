@@ -367,8 +367,20 @@ class DGModel:
                 interior = (g.face_bctag[:, faces] == 0)[..., None, None]
                 hyM = jnp.where(interior, hyM, 0.0)
                 hyP = jnp.where(interior, hyP, 0.0)
-            fstar = fstar + self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP,
-                                     t, hyM, hyP)
+            f2star = self.nf2(bl, nrm, qM, gfM, auxM, qP, gfP, auxP,
+                              t, hyM, hyP)
+            # model-prescribed boundary diffusive fluxes (reference
+            # numerical_boundary_flux_second_order!, e.g. DragLaw /
+            # BulkFormulaEnergy surface fluxes)
+            if hasattr(bl, "boundary_flux_second_order"):
+                bctag = g.face_bctag[:, faces]
+                for tag in g.elem_bctags:
+                    fb = bl.boundary_flux_second_order(
+                        tag, nrm, qM, gfM, auxM, t)
+                    if fb is not None:
+                        f2star = jnp.where((bctag == tag)[..., None, None],
+                                           fb, f2star)
+            fstar = fstar + f2star
 
         sM = g.sM[:, faces, :, None]
         tendency = tendency - self._lift(sM * fstar, faces)

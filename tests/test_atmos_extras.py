@@ -1,0 +1,208 @@
+"""Atmos extras: viscous sponge, drag/bulk surface BCs, precipitation
+(reference multiphysics + bc_* + sponge tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics, Gravity,
+                                      HydrostaticState)
+from climatemachine_tpu.atmos.boundaryconditions import (AtmosBC,
+                                                         BulkFormulaEnergy,
+                                                         DragLaw,
+                                                         Impenetrable,
+                                                         Insulating)
+from climatemachine_tpu.atmos.model import AtmosProblem
+from climatemachine_tpu.atmos.moisture import EquilMoist
+from climatemachine_tpu.atmos.precipitation import (RainModel,
+                                                    RemovePrecipitation,
+                                                    WarmRain1M)
+from climatemachine_tpu.common.turbulence import (ConstantKinematicViscosity,
+                                                  SmagorinskyLilly,
+                                                  UpperAtmosSponge)
+from climatemachine_tpu.dg.reductions import weightedsum
+from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+from climatemachine_tpu.mesh.grid import make_grid, min_node_distance
+from climatemachine_tpu.mesh.topology import stacked_brick_topology
+from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
+from climatemachine_tpu.physics import thermodynamics as td
+from climatemachine_tpu.physics.parameters import EARTH
+from climatemachine_tpu.physics.temperature_profiles import DryAdiabaticProfile
+
+
+def _grid(L=1000.0, n=3, nz=4, poly=3):
+    r = [np.linspace(0, L, n + 1)] * 2 + [np.linspace(0, L, nz + 1)]
+    topo = stacked_brick_topology(r, periodicity=(True, True, False),
+                                  boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    return make_grid(topo, poly, dtype=np.float64)
+
+
+def test_drag_law_decelerates_wind():
+    ps = EARTH
+    grid = _grid()
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        viscoussponge=UpperAtmosSponge(z_max=1000.0, z_sponge=800.0))
+
+    def init(m, coords, aux, t):
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        u = jnp.full_like(rho, 5.0)
+        q = m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi + 0.5 * 25.0)},
+            batch_shape=rho.shape)
+        return m.prog_spec.set(
+            q, "rhou", jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    bcs = (AtmosBC(momentum=Impenetrable(DragLaw(C_drag=0.01))),
+           AtmosBC())
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=bcs),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(50):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    mom0 = float(weightedsum(grid, q0, model.prog_spec.index("rhou").start))
+    mom1 = float(weightedsum(grid, q, model.prog_spec.index("rhou").start))
+    assert mom1 < mom0  # drag removes x-momentum
+
+
+def test_bulk_energy_flux_heats_from_warm_surface():
+    ps = EARTH
+    grid = _grid()
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0))
+
+    def init(m, coords, aux, t):
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        u = jnp.full_like(rho, 5.0)
+        q = m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi + 12.5)},
+            batch_shape=rho.shape)
+        return m.prog_spec.set(
+            q, "rhou", jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    bcs = (AtmosBC(energy=BulkFormulaEnergy(C_h=0.01, T_sfc=320.0)),
+           AtmosBC())
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=bcs),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(50):
+        q, aux = step(q, aux, t)
+        t += dt
+    e0 = float(weightedsum(grid, q0, model.prog_spec.index("rhoe").start))
+    e1 = float(weightedsum(grid, q, model.prog_spec.index("rhoe").start))
+    assert e1 > e0  # warm surface heats the column
+
+
+def test_rain_model_precipitates():
+    """Supersaturated moist column with WarmRain1M: rain forms and falls;
+    total water (vapor+cloud+rain) only changes by sedimentation out."""
+    ps = EARTH
+    grid = _grid(nz=4, poly=3)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        moisture=EquilMoist(),
+        precipitation=RainModel())
+
+    def init(m, coords, aux, t):
+        z = coords[..., 2]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 290.0 * (p / ps.MSLP) ** ps.kappa_d
+        q_tot = jnp.where(z < 500.0, 0.025, 1e-4)   # supersaturated below
+        pp = td.PhasePartition.vapor(q_tot)
+        rho = p / (td.gas_constant_air(ps, pp) * T)
+        return m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T, pp) + Phi),
+             "moisture.rhoq_tot": rho * q_tot},
+            batch_shape=rho.shape)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(), WarmRain1M()))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    # saturation adjustment created condensate
+    ql = model.aux_get(aux, "moisture.q_liq")
+    assert float(jnp.max(ql)) > 1e-4
+
+    dt = 0.25 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(80):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    q_rai = model.prog(q, "precipitation.rhoq_rai")
+    assert float(jnp.max(q_rai)) > 0.0  # rain formed
+
+
+def test_remove_precipitation_sink():
+    ps = EARTH
+    grid = _grid(nz=3, poly=3)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        moisture=EquilMoist())
+
+    def init(m, coords, aux, t):
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 285.0 * (p / ps.MSLP) ** ps.kappa_d
+        q_tot = jnp.full_like(p, 0.03)
+        pp = td.PhasePartition.vapor(q_tot)
+        rho = p / (td.gas_constant_air(ps, pp) * T)
+        return m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T, pp) + Phi),
+             "moisture.rhoq_tot": rho * q_tot},
+            batch_shape=rho.shape)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(), RemovePrecipitation(tau=200.0)))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    dt = 0.25 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(60):
+        q, aux = step(q, aux, t)
+        t += dt
+    sl = model.prog_spec.index("moisture.rhoq_tot").start
+    m0 = float(weightedsum(grid, q0, sl))
+    m1 = float(weightedsum(grid, q, sl))
+    assert m1 < m0  # precipitation removed water
+    assert bool(jnp.all(jnp.isfinite(q)))
