@@ -235,8 +235,11 @@ class DGModel:
         garg = bl.compute_gradient_argument(q, aux, t)
         grad = strong_gradient(g, garg, dims)
 
-        qM, qP = self._gather_faces(q, faces)
-        auxM, auxP = self._gather_faces(aux, faces)
+        nq = q.shape[-1]
+        bM, bP = self._gather_faces(jnp.concatenate([q, aux], axis=-1),
+                                    faces)
+        qM, auxM = bM[..., :nq], bM[..., nq:]
+        qP, auxP = bP[..., :nq], bP[..., nq:]
         nrm = g.normals[:, faces, :, :]
 
         def ghost(tag):
@@ -339,8 +342,19 @@ class DGModel:
         tendency = g.MI[..., None] * weak_divergence(g, F_xi, dims)
 
         # interface: - M^{-1} L (sM F*)
-        qM, qP = self._gather_faces(q, faces)
-        auxM, auxP = self._gather_faces(aux, faces)
+        # single fused face exchange: q, aux (and gf/hyper when present)
+        # ride one slice-extract + one row gather + one orientation einsum
+        nq, naux = q.shape[-1], aux.shape[-1]
+        parts = [q, aux]
+        if gf is not None:
+            parts.append(gf)
+        if hyper is not None:
+            parts.append(hyper)
+        bundleM, bundleP = self._gather_faces(
+            jnp.concatenate(parts, axis=-1), faces)
+        qM, auxM = bundleM[..., :nq], bundleM[..., nq:nq + naux]
+        qP, auxP = bundleP[..., :nq], bundleP[..., nq:nq + naux]
+        off = nq + naux
         nrm = g.normals[:, faces, :, :]
 
         def ghost(tag):
@@ -352,7 +366,10 @@ class DGModel:
         if gf is not None or hyper is not None:
             gfM = gfP = None
             if gf is not None:
-                gfM, gfP = self._gather_faces(gf, faces)
+                ngf = gf.shape[-1]
+                gfM = bundleM[..., off:off + ngf]
+                gfP = bundleP[..., off:off + ngf]
+                off += ngf
                 bctag = g.face_bctag[:, faces]
                 for tag in g.elem_bctags:
                     gfB = bl.boundary_state_gradient_flux(tag, nrm, gfM, qM,
@@ -360,7 +377,8 @@ class DGModel:
                     gfP = jnp.where((bctag == tag)[..., None, None], gfB, gfP)
             hyM = hyP = None
             if hyper is not None:
-                hyM, hyP = self._gather_faces(hyper, faces)
+                hyM = bundleM[..., off:]
+                hyP = bundleP[..., off:]
                 # no hyperdiffusive transport through physical walls
                 # (keeps the chain exactly conservative; the discrete
                 # metric's radial leakage otherwise drains ~1e-9/step)
