@@ -175,6 +175,59 @@ class AtmosModel(BalanceLaw):
         rho = self.prog(q, "rho")
         return T, p, self.prog(q, "rhou") / rho[..., None], pp
 
+    # --- prognostic <-> primitive (reference prog_prim_conversion.jl) -------
+    def prognostic_to_primitive(self, q, aux):
+        """Primitive state with the SAME layout/width as the prognostic
+        spec: (ρ, u, p) in the (ρ, ρu, ρe) slots and specific scalars
+        q_*/χ in the density-weighted slots (reference
+        src/Atmos/Model/prog_prim_conversion.jl prognostic_to_primitive!).
+        Used by the DGFV vertical reconstruction."""
+        s = self.prog_spec
+        rho = self.prog(q, "rho")
+        _, p, _, _ = self.thermo_full(q, aux)
+        prim = q / rho[..., None]       # density-weighted -> specific
+        prim = s.set(prim, "rho", rho)
+        prim = s.set(prim, "rhou", self.prog(q, "rhou") / rho[..., None])
+        prim = s.set(prim, "rhoe", p)
+        return prim
+
+    def primitive_to_prognostic(self, prim, aux):
+        """Inverse of :meth:`prognostic_to_primitive` (reference
+        primitive_to_prognostic!).  For EquilMoist the temperature given
+        (ρ, p, q_tot) is recovered by a short fixed-point on the moist gas
+        constant (reference uses PhaseEquil_ρpq)."""
+        from climatemachine_tpu.atmos.moisture import (EquilMoist,
+                                                       NonEquilMoist)
+        ps = self.param_set
+        s = self.prog_spec
+        rho = s.get(prim, "rho")
+        u = s.get(prim, "rhou")
+        p = s.get(prim, "rhoe")
+        Phi = self.aux_get(aux, "orientation.Phi")
+        moist = self.physics.moisture
+        if isinstance(moist, EquilMoist):
+            q_tot = s.get(prim, "moisture.rhoq_tot")
+            T = p / (rho * td.gas_constant_air(ps))
+            for _ in range(3):
+                pp = td.phase_partition_equil(ps, T, rho, q_tot)
+                T = p / (rho * td.gas_constant_air(ps, pp))
+            pp = td.phase_partition_equil(ps, T, rho, q_tot)
+        elif isinstance(moist, NonEquilMoist):
+            pp = td.PhasePartition(s.get(prim, "moisture.rhoq_tot"),
+                                   s.get(prim, "moisture.rhoq_liq"),
+                                   s.get(prim, "moisture.rhoq_ice"))
+            T = p / (rho * td.gas_constant_air(ps, pp))
+        else:
+            pp = None
+            T = p / (rho * td.gas_constant_air(ps))
+        e_int = td.internal_energy(ps, T, pp)
+        e_kin = 0.5 * jnp.sum(u * u, axis=-1)
+        q = prim * rho[..., None]       # specific -> density-weighted
+        q = s.set(q, "rho", rho)
+        q = s.set(q, "rhou", rho[..., None] * u)
+        q = s.set(q, "rhoe", rho * (e_int + e_kin + Phi))
+        return q
+
     # --- initialization -----------------------------------------------------
     def nodal_init_state_auxiliary(self, geom, aux):
         coords = geom["coords"]

@@ -1,0 +1,135 @@
+"""Hybrid DG-horizontal / FV-vertical discretization.
+
+Scope of reference ``src/Numerics/DGMethods/DGFVModel.jl`` (:2 struct; used
+for positivity-robust moist runs, experiments/TestCase/*_fvm.jl),
+``FVReconstructions.jl`` (FVConstant, FVLinear limited linear) and
+``prog_prim_conversion.jl`` hooks.
+
+TPU-first realization: on an (N_h, 0) grid the generic DG operator is
+already a finite-volume scheme in the vertical — the single-node vertical
+weak derivative vanishes and the face lift divided by the cell mass is
+exactly (F_top − F_bot)/Δz; cell-value face states give FVConstant.
+FVLinear upgrades the vertical face states with a minmod-limited linear
+reconstruction in primitive variables, computed as column reshapes (no
+scans).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from climatemachine_tpu.dg.spatial import DGModel
+
+
+class FVConstant:
+    """Piecewise-constant reconstruction (reference FVReconstructions.jl
+    FVConstant): cell value at both faces — the generic gather already
+    produces this."""
+    width = 0
+
+
+class FVLinear:
+    """Limited linear reconstruction (reference FVLinear): minmod of the
+    one-sided slopes in primitive variables."""
+    width = 1
+
+
+def _minmod(a, b):
+    return jnp.where(a * b > 0,
+                     jnp.where(jnp.abs(a) < jnp.abs(b), a, b), 0.0)
+
+
+class DGFVModel(DGModel):
+    """DG in the horizontal, FV in the vertical (reference DGFVModel.jl).
+
+    Use with a grid built at polyorder (N_h, 0).  ``reconstruction``:
+    FVConstant (default) or FVLinear.
+    """
+
+    def __init__(self, balance_law, grid, reconstruction=None, **kw):
+        assert grid.Nq[2] == 1, "DGFVModel needs polyorder_vert = 0"
+        assert grid.n_vert is not None, "DGFVModel needs a stacked grid"
+        super().__init__(balance_law, grid, **kw)
+        self.reconstruction = reconstruction or FVConstant()
+        import numpy as np
+        bot = 2 * grid.dim - 2
+        self._vert_periodic = bool(
+            (np.asarray(grid.face_bctag)[:, bot] == 0).all())
+
+    # --- vertical face-state reconstruction --------------------------------
+    def _reconstruct_faces(self, q, aux):
+        """(q_bot, q_top) [E, H, nq]: prognostic face states of each cell
+        from the limited linear reconstruction in primitive variables."""
+        g = self.grid
+        bl = self.balance_law
+        nv, Eh, H = g.n_vert, g.n_horz, g.Np
+        prim = bl.prognostic_to_primitive(q, aux) \
+            if hasattr(bl, "prognostic_to_primitive") else q
+        n = prim.shape[-1]
+        ps = prim.reshape(Eh, nv, H, n)
+        h = (2.0 * g.JcV).reshape(Eh, nv, H, 1)           # cell thickness
+
+        dp = ps[:, 1:] - ps[:, :-1]                       # [Eh, nv-1, H, n]
+        dz = 0.5 * (h[:, 1:] + h[:, :-1])
+        sl = dp / dz
+        if self._vert_periodic:
+            slw = ((ps[:, :1] - ps[:, -1:])
+                   / (0.5 * (h[:, :1] + h[:, -1:])))      # wrap slope
+            slm = jnp.concatenate([slw, sl], axis=1)      # Δ⁻ per cell
+            slp = jnp.concatenate([sl, slw], axis=1)      # Δ⁺ per cell
+        else:
+            zero = jnp.zeros_like(ps[:, :1])
+            slm = jnp.concatenate([zero, sl], axis=1)     # Δ⁻ per cell
+            slp = jnp.concatenate([sl, zero], axis=1)     # Δ⁺ per cell
+        slope = _minmod(slm, slp)
+
+        p_bot = ps - 0.5 * h * slope
+        p_top = ps + 0.5 * h * slope
+        to_q = (bl.primitive_to_prognostic
+                if hasattr(bl, "primitive_to_prognostic") else None)
+        flat = lambda x: x.reshape(Eh * nv, H, n)
+        if to_q is not None:
+            return (to_q(flat(p_bot), aux), to_q(flat(p_top), aux))
+        return flat(p_bot), flat(p_top)
+
+    def _gather_faces(self, x, faces):
+        xM, xP = super()._gather_faces(x, faces)
+        if isinstance(self.reconstruction, FVConstant):
+            return xM, xP
+        g = self.grid
+        nq = self.n_prognostic
+        if x.shape[-1] < nq or not {2 * g.dim - 2, 2 * g.dim - 1} & set(faces):
+            return xM, xP
+        naux = self.n_auxiliary
+        if x.shape[-1] < nq + naux:
+            return xM, xP
+
+        q = x[..., :nq]
+        aux = x[..., nq:nq + naux]
+        q_bot, q_top = self._reconstruct_faces(q, aux)     # [E, H, nq]
+
+        nv = g.n_vert
+        E = q.shape[0]
+        fb, ft = 2 * g.dim - 2, 2 * g.dim - 1              # bottom, top
+        ib, it = faces.index(fb), faces.index(ft)
+
+        # minus side: own reconstructed face values
+        xM = xM.at[:, ib, :, :nq].set(q_bot)
+        xM = xM.at[:, it, :, :nq].set(q_top)
+        # plus side: neighbor's reconstructed values (roll along ev — also
+        # correct for vertically periodic stacks); physical stack
+        # boundaries (face_bctag != 0) keep the pre-BC copy of the minus
+        # state, which _boundary_plus then overwrites with the ghost state
+        qb = q_bot.reshape(g.n_horz, nv, g.Np, nq)
+        qt = q_top.reshape(g.n_horz, nv, g.Np, nq)
+        below_top = jnp.roll(qt, 1, axis=1).reshape(E, g.Np, nq)
+        above_bot = jnp.roll(qb, -1, axis=1).reshape(E, g.Np, nq)
+        wall_b = (g.face_bctag[:, fb] != 0)[:, None, None]
+        wall_t = (g.face_bctag[:, ft] != 0)[:, None, None]
+        xP = xP.at[:, ib, :, :nq].set(
+            jnp.where(wall_b, q_bot, below_top))
+        xP = xP.at[:, it, :, :nq].set(
+            jnp.where(wall_t, q_top, above_bot))
+        return xM, xP

@@ -82,8 +82,26 @@ def _apply_D(grid, xb, refdim: int, transpose: bool = False):
 
 
 def weak_divergence(grid, F_xi, dims: Sequence[int]):
-    """sum_a D_a^T (M * F_xia) for a in dims.  F_xi: [E, Np, dim, n]."""
-    MF = grid.M[..., None, None] * F_xi
+    """sum_a D_a^T (M * F_xia) for a in dims.  F_xi: [E, Np, dim, n].
+
+    Fast path: the per-direction Kronecker operators are pre-concatenated
+    into one [Np, dim*Np] matrix (grid.Wdiv) so the whole weak divergence
+    is a single MXU matmul with K = dim·Np instead of dim rank-Nq
+    tensordots (25x better systolic-array utilization at p4)."""
+    MF = grid.M[..., None, None] * F_xi                 # [E, Np, dim, n]
+    if grid.Wdiv is not None:
+        E, n = MF.shape[0], MF.shape[-1]
+        dim = grid.dim
+        if len(dims) == dim:
+            W = grid.Wdiv
+            MFr = jnp.swapaxes(MF, 1, 2).reshape(E, dim * grid.Np, n)
+        else:
+            W = jnp.concatenate(
+                [grid.Wdiv[:, a * grid.Np:(a + 1) * grid.Np] for a in dims],
+                axis=1)
+            MFr = jnp.swapaxes(MF[:, :, list(dims), :], 1, 2).reshape(
+                E, len(dims) * grid.Np, n)
+        return jnp.einsum("nK,eKv->env", W, MFr)
     out = None
     for a in dims:
         term = _to_flat(grid, _apply_D(grid, _to_block(grid, MF[:, :, a, :]),
@@ -92,15 +110,36 @@ def weak_divergence(grid, F_xi, dims: Sequence[int]):
     return out
 
 
+def ref_gradient(grid, g, dims: Sequence[int]):
+    """All reference-direction derivatives in one matmul:
+    g [E, Np, ng] -> [E, len(dims), Np, ng] (D_a g per a)."""
+    E, ng = g.shape[0], g.shape[-1]
+    if grid.Wgrad is not None:
+        if len(dims) == grid.dim:
+            W = grid.Wgrad
+        else:
+            W = jnp.concatenate(
+                [grid.Wgrad[a * grid.Np:(a + 1) * grid.Np, :] for a in dims],
+                axis=0)
+        out = jnp.einsum("Km,emv->eKv", W, g)
+        return out.reshape(E, len(dims), grid.Np, ng)
+    gb = _to_block(grid, g)
+    terms = [_to_flat(grid, _apply_D(grid, gb, a)) for a in dims]
+    return jnp.stack(terms, axis=1)
+
+
 def strong_gradient(grid, g, dims: Sequence[int]):
     """Chain-rule nodal gradient: d g / d x_i = sum_a xi_a,x_i * D_a g.
-    g: [E, Np, ng] -> [E, Np, ncoord, ng]."""
-    ncoord = grid.coords.shape[-1]
-    gb = _to_block(grid, g)
+    g: [E, Np, ng] -> [E, Np, ncoord, ng].
+
+    Derivatives ride one Wgrad MXU matmul; the metric contraction is a
+    short VPU multiply-add loop (contraction length dim≤3 is too small
+    for a matmul)."""
+    dg = ref_gradient(grid, g, dims)                    # [E, na, Np, ng]
     out = 0.0
-    for a in dims:
-        dga = _to_flat(grid, _apply_D(grid, gb, a))     # [E, Np, ng]
-        out = out + grid.xi_x[:, :, a, :, None] * dga[:, :, None, :]
+    for idx, a in enumerate(dims):
+        out = out + (grid.xi_x[:, :, a, :, None]
+                     * dg[:, idx][:, :, None, :])
     return out
 
 
@@ -278,12 +317,15 @@ class DGModel:
         direction = direction or self.diffusion_direction
         dims = direction_dims(direction, g.dim)
         faces = direction_faces(direction, g.dim)
-        # strong divergence: sum_a xi_a,x_i D_a v_i
+        # strong divergence: sum_a xi_a,x_i D_a v_i (one fused matmul for
+        # the derivatives, VPU loop for the short metric contraction)
+        E, nc, n = v.shape[0], v.shape[2], v.shape[3]
+        dv = ref_gradient(g, v.reshape(E, g.Np, nc * n), dims)
+        dv = dv.reshape(E, len(dims), g.Np, nc, n)
         div = 0.0
-        vb = v
-        for a in dims:
-            dva = _to_flat(g, _apply_D(g, _to_block(g, v), a))  # [E,Np,3,n]
-            div = div + jnp.sum(g.xi_x[:, :, a, :, None] * dva, axis=2)
+        for idx, a in enumerate(dims):
+            div = div + jnp.sum(g.xi_x[:, :, a, :, None] * dv[:, idx],
+                                axis=2)
         # interface central correction: n·(v* - v-)
         E, n = v.shape[0], v.shape[-1]
         vflat = v.reshape(E, g.Np, 3 * n)

@@ -19,8 +19,12 @@ def lgl_points(n_poly: int) -> tuple[np.ndarray, np.ndarray]:
     Nodes are the roots of (1-x^2) P'_N(x); weights w_j = 2/(N(N+1) P_N(x_j)^2).
     Newton iteration from the Chebyshev-Gauss-Lobatto initial guess.
     """
-    assert n_poly >= 1
+    assert n_poly >= 0
     n = n_poly
+    if n == 0:
+        # finite-volume limit: one cell-centered node carrying the full
+        # reference-cell weight (reference DGFV polyorder_vert = 0)
+        return np.array([0.0]), np.array([2.0])
     if n == 1:
         return np.array([-1.0, 1.0]), np.array([1.0, 1.0])
     # initial guess: Chebyshev-Gauss-Lobatto points

@@ -121,6 +121,11 @@ class Grid:
     face_nbr_row: jnp.ndarray = None      # [E, nface] int32 = ne*nface+nf
     face_orient_onehot: jnp.ndarray = None  # [E, nface, n_codes] run dtype
     face_perm_P: jnp.ndarray = None       # [nface, n_codes, Nfp_max, Nfp_max]
+    # fused Kronecker derivative operators: all reference directions in ONE
+    # MXU-shaped matmul ([Np, dim*Np] instead of dim small tensordots —
+    # K=Nq contractions underutilize the 128x128 systolic array ~25x)
+    Wdiv: jnp.ndarray = None              # [Np, dim*Np]: Σ_a D_aᵀ-kron
+    Wgrad: jnp.ndarray = None             # [dim*Np, Np]: D_a-kron stacked
     # host metadata
     n_horz: Optional[int] = None
     n_vert: Optional[int] = None
@@ -173,7 +178,20 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
             coords = np.stack([x1, x2], axis=-1)
 
     if dim == 3:
-        geo = metrics.geometry_3d(coords, tuple(D), tuple(w))
+        dx3 = None
+        if Nq[2] == 1:
+            # FV vertical layer: analytic d(x)/d(xi3) from the warped
+            # top/bottom face midpoints (exact: stacked elements are
+            # affine in xi3 after the radial/vertical warp)
+            c2 = metrics.nodal_coordinates(
+                topology.elem_to_coord,
+                [xi[0], xi[1], np.array([-1.0, 1.0])], dim)
+            if topology.meshwarp is not None:
+                x1, x2, x3 = topology.meshwarp(c2[..., 0], c2[..., 1],
+                                               c2[..., 2])
+                c2 = np.stack([x1, x2, x3], axis=-1)
+            dx3 = ((c2[:, 1:2] - c2[:, 0:1]) / 2.0)  # [E, 1, Nq2, Nq1, 3]
+        geo = metrics.geometry_3d(coords, tuple(D), tuple(w), dx_dxi3=dx3)
     else:
         geo = metrics.geometry_2d(coords, tuple(D), tuple(w))
 
@@ -251,6 +269,22 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
             for p in range(Nfp[f], Nfp_max):
                 face_perm_P[f, ci, p, p] = 1.0
 
+    # Kronecker-structured full-volume derivative operators
+    def _kron_op(a, transpose):
+        mats = []
+        for d in range(dim - 1, -1, -1):   # k slowest ... i fastest
+            if d == a:
+                mats.append(D[a].T if transpose else D[a])
+            else:
+                mats.append(np.eye(Nq[d]))
+        out = mats[0]
+        for m in mats[1:]:
+            out = np.kron(out, m)
+        return out                          # [Np, Np]
+
+    Wdiv = np.concatenate([_kron_op(a, True) for a in range(dim)], axis=1)
+    Wgrad = np.concatenate([_kron_op(a, False) for a in range(dim)], axis=0)
+
     dev = lambda a: jnp.asarray(a, dtype=dtype)
     tags = tuple(sorted(set(topology.face_bctag.reshape(-1).tolist()) - {0}))
 
@@ -275,6 +309,8 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
         face_nbr_row=jnp.asarray(face_nbr_row, dtype=jnp.int32),
         face_orient_onehot=dev(orient_onehot),
         face_perm_P=dev(face_perm_P),
+        Wdiv=dev(Wdiv),
+        Wgrad=dev(Wgrad),
         n_horz=(topology.stack.n_horz if topology.stack else None),
         n_vert=(topology.stack.n_vert if topology.stack else None),
     )

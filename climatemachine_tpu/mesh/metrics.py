@@ -50,7 +50,7 @@ def _dmat_apply(D: np.ndarray, x: np.ndarray, refdim: int, dim: int):
 
 
 def geometry_3d(coords: np.ndarray, D: tuple[np.ndarray, ...],
-                w: tuple[np.ndarray, ...]):
+                w: tuple[np.ndarray, ...], dx_dxi3: np.ndarray = None):
     """3-D volume + surface geometry.
 
     coords: [E, Nq3, Nq2, Nq1, 3] physical nodal coordinates.
@@ -74,6 +74,11 @@ def geometry_3d(coords: np.ndarray, D: tuple[np.ndarray, ...],
     for a in range(3):
         for i in range(3):
             dx[..., i, a] = _dmat_apply(D[a], x[i], a, 3)
+    if dx_dxi3 is not None:
+        # FV vertical (Nq3 == 1): the nodal derivative along xi3 vanishes
+        # (single node); use the analytic cell-thickness derivative
+        # (reference DGFV polyorder_vert=0 geometry)
+        dx[..., :, 2] = dx_dxi3
 
     J = (dx[..., 0, 0] * (dx[..., 1, 1] * dx[..., 2, 2] - dx[..., 2, 1] * dx[..., 1, 2])
          + dx[..., 1, 0] * (dx[..., 2, 1] * dx[..., 0, 2] - dx[..., 0, 1] * dx[..., 2, 2])
@@ -82,21 +87,32 @@ def geometry_3d(coords: np.ndarray, D: tuple[np.ndarray, ...],
         raise ValueError(f"non-positive Jacobian: min {J.min():.3e}")
     JcV = np.sqrt(dx[..., 0, 2] ** 2 + dx[..., 1, 2] ** 2 + dx[..., 2, 2] ** 2)
 
-    # curl-invariant contravariant metrics:
-    #   J * d(xi_a)/d(x_i) = (1/2) * [ D_{a+1}(V^i_{a+2}) - D_{a+2}(V^i_{a+1}) ]
-    # where V^i_a = x_{i+1} * d(x_{i+2})/d(xi_a) - x_{i+2} * d(x_{i+1})/d(xi_a)
-    # (cyclic indices), cf. reference Metrics.jl:431-... (yz/zx/xy arrays).
     xi_x = np.zeros((E, Nq3, Nq2, Nq1, 3, 3))
-    for i in range(3):
-        i1, i2 = (i + 1) % 3, (i + 2) % 3
-        V = np.empty((E, Nq3, Nq2, Nq1, 3))
+    if dx_dxi3 is not None:
+        # direct cross-product metrics (vertical is affine in xi3 for
+        # stacked grids, so the curl form is unnecessary)
+        a_vecs = [dx[..., :, a] for a in range(3)]
+        crosses = [np.cross(a_vecs[1], a_vecs[2]),
+                   np.cross(a_vecs[2], a_vecs[0]),
+                   np.cross(a_vecs[0], a_vecs[1])]
         for a in range(3):
-            V[..., a] = x[i1] * dx[..., i2, a] - x[i2] * dx[..., i1, a]
-        for a in range(3):
-            a1, a2 = (a + 1) % 3, (a + 2) % 3
-            xi_x[..., a, i] = 0.5 * (
-                _dmat_apply(D[a1], V[..., a2], a1, 3)
-                - _dmat_apply(D[a2], V[..., a1], a2, 3)) / J
+            for i in range(3):
+                xi_x[..., a, i] = crosses[a][..., i] / J
+    else:
+        # curl-invariant contravariant metrics:
+        #   J * d(xi_a)/d(x_i) = (1/2)*[D_{a+1}(V^i_{a+2}) - D_{a+2}(V^i_{a+1})]
+        # where V^i_a = x_{i+1} * d(x_{i+2})/d(xi_a) - x_{i+2} * d(x_{i+1})/d(xi_a)
+        # (cyclic indices), cf. reference Metrics.jl:431-... (yz/zx/xy arrays).
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            V = np.empty((E, Nq3, Nq2, Nq1, 3))
+            for a in range(3):
+                V[..., a] = x[i1] * dx[..., i2, a] - x[i2] * dx[..., i1, a]
+            for a in range(3):
+                a1, a2 = (a + 1) % 3, (a + 2) % 3
+                xi_x[..., a, i] = 0.5 * (
+                    _dmat_apply(D[a1], V[..., a2], a1, 3)
+                    - _dmat_apply(D[a2], V[..., a1], a2, 3)) / J
 
     # mass matrix: tensor-product weights * J
     wt = np.multiply.outer(np.multiply.outer(w[2], w[1]), w[0])  # [Nq3,Nq2,Nq1]

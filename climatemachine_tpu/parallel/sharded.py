@@ -59,6 +59,8 @@ class _ShardGrid:
     lift: jnp.ndarray
     coords: jnp.ndarray
     face_nbr_row: object = None   # None => node-space gather path
+    Wdiv: object = None
+    Wgrad: object = None
 
     @property
     def nelem(self):
@@ -97,7 +99,8 @@ class ShardedDGModel:
             face_bctag=shard_e(g.face_bctag), coords=shard_e(g.coords))
         self._static = dict(dim=g.dim, Nq=g.Nq, Np=g.Np, nface=g.nface,
                             Nfp_max=g.Nfp_max, D=g.D, lift=g.lift,
-                            elem_bctags=g.elem_bctags)
+                            elem_bctags=g.elem_bctags, Wdiv=g.Wdiv,
+                            Wgrad=g.Wgrad)
 
         self._shard_rhs = self._build()
 

@@ -1,0 +1,167 @@
+"""DGFV (DG-horizontal / FV-vertical) verification (model: reference
+src/Numerics/DGMethods/DGFVModel.jl + FVReconstructions.jl, exercised by
+test/Numerics/DGMethods/advection_diffusion fvm variants and the
+experiments/TestCase/*_fvm.jl moist runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climatemachine_tpu.dg.fv import DGFVModel, FVConstant, FVLinear
+from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+from climatemachine_tpu.mesh import topology as topo
+from climatemachine_tpu.mesh.grid import make_grid
+from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
+from climatemachine_tpu.ode.solve import solve
+from climatemachine_tpu.testing.advection_diffusion import AdvectionDiffusion
+from climatemachine_tpu.utils.ftypes import set_default_float
+
+
+@pytest.fixture(autouse=True)
+def _f64():
+    set_default_float(np.float64)
+    yield
+    set_default_float(np.float32)
+
+
+def _vert_grid(nv, nh=2, poly_h=2):
+    ranges = [np.linspace(0, 1, nh + 1), np.linspace(0, 1, nh + 1),
+              np.linspace(0, 1, nv + 1)]
+    t = topo.stacked_brick_topology(ranges, periodicity=(True, True, True))
+    return make_grid(t, (poly_h, poly_h, 0))
+
+
+def l2_norm(grid, q):
+    return float(jnp.sqrt(jnp.sum(grid.M[..., None] * q ** 2)))
+
+
+@pytest.mark.parametrize("rec", [FVConstant(), FVLinear()])
+def test_dgfv_free_stream(rec):
+    """Constant state stays constant: zero slopes -> exact reconstruction."""
+    g = _vert_grid(6)
+    bl = AdvectionDiffusion(u=(0.2, -0.1, 0.7),
+                            init_fn=lambda c, t: jnp.ones(c.shape[:-1]))
+    dg = DGFVModel(bl, g, reconstruction=rec)
+    q, aux = init_ode_state(dg)
+    tend, _ = jax.jit(dg)(q, aux, 0.0)
+    assert float(jnp.max(jnp.abs(tend))) < 1e-12
+
+
+def _advect_error(nv, rec, timeend=0.25):
+    g = _vert_grid(nv)
+
+    def ic(c, tt=0.0):
+        return jnp.sin(2 * np.pi * (c[..., 2] - tt))
+
+    bl = AdvectionDiffusion(u=(0.0, 0.0, 1.0), init_fn=ic)
+    dg = DGFVModel(bl, g, reconstruction=rec)
+    q0, aux = init_ode_state(dg)
+    dt = 0.2 / nv / 4
+    solver = LSRK54CarpenterKennedy(dg, dt)
+    state = solve(q0, aux, solver, timeend=timeend)
+    qex = ic(g.coords, timeend)[..., None]
+    return l2_norm(g, state.q - qex)
+
+
+def test_dgfv_vertical_order():
+    """Vertical sine advection: FVConstant converges at ~1st order,
+    minmod-limited FVLinear at ≳1.5 (limiter clips smooth extrema), and
+    FVLinear is strictly more accurate."""
+    e_c = [_advect_error(nv, FVConstant()) for nv in (16, 32)]
+    e_l = [_advect_error(nv, FVLinear()) for nv in (16, 32)]
+    order_c = np.log2(e_c[0] / e_c[1])
+    order_l = np.log2(e_l[0] / e_l[1])
+    assert 0.7 < order_c < 1.4, (order_c, e_c)
+    assert order_l > 1.4, (order_l, e_l)
+    assert e_l[1] < e_c[1] / 3
+
+
+def test_dgfv_mass_conservation():
+    """The FV face states are consistent at interfaces (single-valued
+    numerical flux) so vertical mass is conserved to round-off."""
+    g = _vert_grid(8)
+    bl = AdvectionDiffusion(
+        u=(0.0, 0.0, 1.0),
+        init_fn=lambda c, t: jnp.sin(2 * np.pi * c[..., 2]) + 2.0)
+    dg = DGFVModel(bl, g, reconstruction=FVLinear())
+    q0, aux = init_ode_state(dg)
+    solver = LSRK54CarpenterKennedy(dg, 0.003)
+    state = solve(q0, aux, solver, timeend=0.15)
+    m0 = float(jnp.sum(g.M[..., None] * q0))
+    m1 = float(jnp.sum(g.M[..., None] * state.q))
+    assert np.isclose(m0, m1, rtol=1e-12)
+
+
+# --- atmos prognostic<->primitive round trip (prog_prim_conversion.jl) ----
+
+def _atmos_state(moisture=None):
+    from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics,
+                                          HydrostaticState)
+    from climatemachine_tpu.atmos.model import AtmosProblem
+    from climatemachine_tpu.atmos.boundaryconditions import (
+        AtmosBC, FreeSlip, Impenetrable)
+    from climatemachine_tpu.physics.temperature_profiles import (
+        DecayingTemperatureProfile)
+
+    physics = AtmosPhysics(ref_state=HydrostaticState(
+        DecayingTemperatureProfile(290.0, 220.0)),
+        **({"moisture": moisture} if moisture else {}))
+    problem = AtmosProblem(
+        init_state=None,
+        boundary_conditions=(AtmosBC(momentum=Impenetrable(FreeSlip())),
+                             AtmosBC(momentum=Impenetrable(FreeSlip()))))
+    return AtmosModel(physics, problem)
+
+
+@pytest.mark.parametrize("moist", [False, True])
+def test_prog_prim_roundtrip(moist):
+    from climatemachine_tpu.atmos.moisture import EquilMoist
+    from climatemachine_tpu.dg.spatial import init_state_auxiliary
+    from climatemachine_tpu.physics import thermodynamics as td
+    from climatemachine_tpu.physics.parameters import EARTH
+
+    model = _atmos_state(EquilMoist() if moist else None)
+    ranges = [np.linspace(0, 1e3, 3), np.linspace(0, 1e3, 3),
+              np.linspace(0, 2e3, 5)]
+    t = topo.stacked_brick_topology(
+        ranges, periodicity=(True, True, False),
+        boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    g = make_grid(t, (2, 2, 0))
+    aux = init_state_auxiliary(model, g)
+
+    s = model.prog_spec
+    rho = model.aux_spec.get(aux, "ref_state.rho")
+    p = model.aux_spec.get(aux, "ref_state.p")
+    Phi = model.aux_spec.get(aux, "orientation.Phi")
+    u = jnp.stack([0.5 * jnp.ones_like(rho), -0.2 * jnp.ones_like(rho),
+                   0.1 * jnp.ones_like(rho)], axis=-1)
+    fields = {"rho": rho, "rhou": rho[..., None] * u}
+    if moist:
+        q_tot = 0.005 * jnp.ones_like(rho)
+        pp = td.phase_partition_equil(
+            EARTH, p / (rho * EARTH.R_d), rho, q_tot)
+        T = p / (rho * td.gas_constant_air(EARTH, pp))
+        for _ in range(30):
+            pp = td.phase_partition_equil(EARTH, T, rho, q_tot)
+            T = p / (rho * td.gas_constant_air(EARTH, pp))
+        e_int = td.internal_energy(EARTH, T, pp)
+        fields["moisture.rhoq_tot"] = rho * q_tot
+    else:
+        T = p / (rho * EARTH.R_d)
+        e_int = td.internal_energy(EARTH, T)
+    fields["rhoe"] = rho * (e_int + 0.5 * jnp.sum(u * u, -1) + Phi)
+    q = s.pack(fields, batch_shape=rho.shape)
+
+    # the DGFV path always runs with a current aux cache (update_aux is the
+    # first step of the RHS); mirror that here
+    aux = model.update_auxiliary_state(g, q, aux, 0.0)
+    prim = model.prognostic_to_primitive(q, aux)
+    # primitive slots: rho, velocity, pressure
+    assert np.allclose(np.asarray(s.get(prim, "rho")), np.asarray(rho))
+    assert np.allclose(np.asarray(s.get(prim, "rhou")), np.asarray(u))
+    p_prim = np.asarray(s.get(prim, "rhoe"))
+    assert np.allclose(p_prim, np.asarray(p), rtol=2e-5)
+
+    q2 = model.primitive_to_prognostic(prim, aux)
+    assert np.allclose(np.asarray(q2), np.asarray(q), rtol=1e-5, atol=1e-8)
