@@ -167,3 +167,192 @@ class HLLCNumericalFlux(NumericalFluxFirstOrder):
                         jnp.where(Ss_ >= 0, FMs,
                                   jnp.where(SR_ >= 0, FPs, FP)))
         return out
+
+
+class LMARSNumericalFlux(NumericalFluxFirstOrder):
+    """Low Mach number Approximate Riemann Solver (reference
+    NumericalFluxes.jl:383 + AtmosModel.jl:1516; Chen et al. 2013 eqs
+    46-50).  Pressure/velocity half-states from an acoustic solve, all
+    advected quantities upwinded by u_half; supports Dry/EquilMoist and
+    rides tracers on the contact wave.  beta = 1."""
+
+    def __init__(self, beta: float = 1.0):
+        self.beta = float(beta)
+
+    def __call__(self, bl, nrm, qM, auxM, qP, auxP, t):
+        ps = bl.param_set
+        s = bl.prog_spec
+
+        rhoM = s.get(qM, "rho")
+        rhoP = s.get(qP, "rho")
+        uM = s.get(qM, "rhou") / rhoM[..., None]
+        uP = s.get(qP, "rhou") / rhoP[..., None]
+        TM, pM, _, ppM = bl.thermo_full(qM, auxM)
+        TP, pP, _, ppP = bl.thermo_full(qP, auxP)
+        # match the volume flux's reference-pressure subtraction
+        if bl.ref_state is not None and bl.ref_state.subtract_off:
+            pref = bl.aux_get(auxM, "ref_state.p")
+            prefP = bl.aux_get(auxP, "ref_state.p")
+            pM = pM - pref
+            pP = pP - prefP
+        # acoustic impedance scale: SYMMETRIC average sound speed.  The
+        # reference uses the minus-side c (AtmosModel.jl:1567), which makes
+        # the two per-side evaluations of a face inconsistent (~1e-9 mass
+        # drift); the averaged c keeps LMARS exactly conservative.
+        c_h = 0.5 * (td.soundspeed_air(ps, TM, ppM)
+                     + td.soundspeed_air(ps, TP, ppP))
+        unM = jnp.sum(uM * nrm, axis=-1)
+        unP = jnp.sum(uP * nrm, axis=-1)
+        hM = (s.get(qM, "rhoe") + pM) / rhoM
+        hP = (s.get(qP, "rhoe") + pP) / rhoP
+
+        b = self.beta
+        u_half = 0.5 * (unP + unM) - b / (rhoM + rhoP) / c_h * (pP - pM)
+        p_half = 0.5 * (pP + pM) - b * (rhoM + rhoP) * c_h / 4 * (unP - unM)
+
+        up = u_half > 0.0
+        rho_b = jnp.where(up, rhoM, rhoP)
+        rhou_b = jnp.where(up[..., None], s.get(qM, "rhou"),
+                           s.get(qP, "rhou"))
+        rhoh_b = jnp.where(up, rhoM * hM, rhoP * hP)
+
+        out = jnp.zeros(jnp.broadcast_shapes(qM.shape, qP.shape),
+                        dtype=qM.dtype)
+        out = s.set(out, "rho", rho_b * u_half)
+        out = s.set(out, "rhou", rhou_b * u_half[..., None]
+                    + p_half[..., None] * nrm)
+        out = s.set(out, "rhoe", rhoh_b * u_half)
+        # all other density-weighted scalars: upwind by u_half
+        for name in s.names():
+            if name in ("rho", "rhou", "rhoe"):
+                continue
+            xb = jnp.where(up[..., None] if s.get(qM, name).ndim
+                           == rhoM.ndim + 1 else up,
+                           s.get(qM, name), s.get(qP, name))
+            out = s.set(out, name, xb * (u_half[..., None]
+                        if xb.ndim == rhoM.ndim + 1 else u_half))
+        return out
+
+
+class RoeNumericalFluxMoist(NumericalFluxFirstOrder):
+    """Roe flux for EquilMoist atmosphere (reference NumericalFluxes.jl:392
+    + AtmosModel.jl:1276-1514): 6-wave decomposition (rho, rhou, rhoe,
+    rhoq_tot) about the Roe-averaged moist state (saturation adjustment at
+    the averaged e_int/rho/q_tot), optional low-Mach scaling of the
+    acoustic eigenvalues (LM flag).  Dissipation solved as a batched 6x6
+    linear system (M Lambda M^{-1} dq via jnp.linalg.solve)."""
+
+    def __init__(self, LM: bool = False):
+        self.LM = bool(LM)
+
+    def __call__(self, bl, nrm, qM, auxM, qP, auxP, t):
+        ps = bl.param_set
+        s = bl.prog_spec
+        gamma_d = ps.cp_d / ps.cv_d
+
+        rhoM = s.get(qM, "rho")
+        rhoP = s.get(qP, "rho")
+        uM = s.get(qM, "rhou") / rhoM[..., None]
+        uP = s.get(qP, "rhou") / rhoP[..., None]
+        TM, pM, _, ppM = bl.thermo_full(qM, auxM)
+        TP, pP, _, ppP = bl.thermo_full(qP, auxP)
+        hM = (s.get(qM, "rhoe") + pM) / rhoM
+        hP = (s.get(qP, "rhoe") + pP) / rhoP
+        qtM = s.get(qM, "moisture.rhoq_tot") / rhoM
+        qtP = s.get(qP, "moisture.rhoq_tot") / rhoP
+        Phi = bl.aux_get(auxM, "orientation.Phi")
+
+        # Roe averages
+        sM = jnp.sqrt(rhoM)
+        sP = jnp.sqrt(rhoP)
+        w = sM / (sM + sP)
+
+        def roe(a, b):
+            if a.ndim == w.ndim + 1:
+                return w[..., None] * a + (1 - w[..., None]) * b
+            return w * a + (1 - w) * b
+
+        uh = roe(uM, uP)
+        hh = roe(hM, hP)
+        qt = roe(qtM, qtP)
+        rho = sM * sP
+        e_intM = td.internal_energy(ps, TM, ppM)
+        e_intP = td.internal_energy(ps, TP, ppP)
+        e_int = roe(e_intM, e_intP)
+        # saturation adjustment at the Roe state (reference PhaseEquil)
+        Troe = td.saturation_adjustment(ps, e_int, rho, qt)
+        pproe = td.phase_partition_equil(ps, Troe, rho, qt)
+        R_m = td.gas_constant_air(ps, pproe)
+        cp_m = td.cp_m(ps, pproe)
+        cv_m = td.cv_m(ps, pproe)
+
+        ke = 0.5 * jnp.sum(uh * uh, axis=-1)
+        ch = jnp.sqrt(jnp.maximum((gamma_d - 1.0) * (hh - ke), 1e-10))
+        un = jnp.sum(uh * nrm, axis=-1)
+
+        if self.LM:
+            cMs = td.soundspeed_air(ps, TM, ppM)
+            cPs = td.soundspeed_air(ps, TP, ppP)
+            Mach = 0.5 * (jnp.linalg.norm(uM, axis=-1) / cMs
+                          + jnp.linalg.norm(uP, axis=-1) / cPs)
+            scale = jnp.minimum(
+                Mach * jnp.sqrt(4.0 + (1.0 - Mach ** 2) ** 2)
+                / (1.0 + Mach ** 2), 1.0)
+            c_lm = ch * scale
+        else:
+            c_lm = ch
+
+        # tangent basis from a fixed random unit vector (reference :1355)
+        om, de = jnp.pi / 3, jnp.pi / 5
+        rv = jnp.asarray([jnp.sin(om) * jnp.cos(de),
+                          jnp.cos(om) * jnp.cos(de), jnp.sin(de)],
+                         dtype=qM.dtype)
+        tau1 = jnp.cross(jnp.broadcast_to(rv, nrm.shape), nrm)
+        tau2 = jnp.cross(tau1, nrm)
+
+        ucm = uh - ch[..., None] * nrm
+        ucp = uh + ch[..., None] * nrm
+
+        one = jnp.ones_like(un)
+        zero = jnp.zeros_like(un)
+        e_int_v0 = ps.e_int_v0
+        # columns of the right-eigenvector matrix (reference :1497-1506)
+        cols = [
+            jnp.stack([one, ucm[..., 0], ucm[..., 1], ucm[..., 2],
+                       hh - ch * un, qt], axis=-1),
+            jnp.stack([zero, tau1[..., 0], tau1[..., 1], tau1[..., 2],
+                       jnp.sum(tau1 * uh, -1), zero], axis=-1),
+            jnp.stack([zero, tau2[..., 0], tau2[..., 1], tau2[..., 2],
+                       jnp.sum(tau2 * uh, -1), zero], axis=-1),
+            jnp.stack([one, uh[..., 0], uh[..., 1], uh[..., 2],
+                       2 * ke + Phi - ps.T_0 * cv_m, zero], axis=-1),
+            jnp.stack([one, ucp[..., 0], ucp[..., 1], ucp[..., 2],
+                       hh + ch * un, qt], axis=-1),
+            jnp.stack([zero, zero, zero, zero,
+                       e_int_v0 * one, one], axis=-1),
+        ]
+        Mmat = jnp.stack(cols, axis=-1)           # [..., 6(state), 6(wave)]
+        lam = jnp.stack([jnp.abs(un - c_lm), jnp.abs(un), jnp.abs(un),
+                         jnp.abs(un), jnp.abs(un + c_lm), jnp.abs(un)],
+                        axis=-1)
+
+        dstate = jnp.stack(
+            [rhoP - rhoM,
+             (s.get(qP, "rhou") - s.get(qM, "rhou"))[..., 0],
+             (s.get(qP, "rhou") - s.get(qM, "rhou"))[..., 1],
+             (s.get(qP, "rhou") - s.get(qM, "rhou"))[..., 2],
+             s.get(qP, "rhoe") - s.get(qM, "rhoe"),
+             s.get(qP, "moisture.rhoq_tot") - s.get(qM, "moisture.rhoq_tot")],
+            axis=-1)
+        wamp = jnp.linalg.solve(Mmat, dstate[..., None])[..., 0]
+        diss = jnp.einsum("...sw,...w->...s", Mmat, lam * wamp)
+
+        central = 0.5 * (_model_normal_flux(bl, nrm, qM, auxM, t)
+                         + _model_normal_flux(bl, nrm, qP, auxP, t))
+        out = central
+        idx = [s.index("rho").start, s.index("rhou").start,
+               s.index("rhou").start + 1, s.index("rhou").start + 2,
+               s.index("rhoe").start, s.index("moisture.rhoq_tot").start]
+        for k, i in enumerate(idx):
+            out = out.at[..., i].add(-0.5 * diss[..., k])
+        return out

@@ -100,7 +100,13 @@ def test_mis_convergence():
         assert p > order - 0.5, (name, p, e1, e2)
 
 
-@pytest.mark.parametrize("flux_cls", [RoeNumericalFlux, HLLCNumericalFlux])
+def _lmars():
+    from climatemachine_tpu.atmos.numerical_fluxes import LMARSNumericalFlux
+    return LMARSNumericalFlux
+
+
+@pytest.mark.parametrize("flux_cls", [RoeNumericalFlux, HLLCNumericalFlux,
+                                      _lmars()])
 def test_riemann_solvers_on_bubble(flux_cls):
     """Roe/HLLC: hydrostatically balanced, stable, conservative, close to
     the Rusanov solution."""
@@ -157,4 +163,91 @@ def test_riemann_solvers_on_bubble(flux_cls):
     wa = model.prog(qa, "rhou")[..., 2]
     wb = model.prog(qb, "rhou")[..., 2]
     scale = float(jnp.max(jnp.abs(wb))) + 1e-30
-    assert float(jnp.max(jnp.abs(wa - wb))) < 0.2 * scale
+    # LMARS is far less dissipative than Rusanov: barely-developed
+    # acoustics differ more while the physics (finite, conservative,
+    # same-order updraft) match
+    tol = 0.7 if flux_cls.__name__ == 'LMARSNumericalFlux' else 0.2
+    assert float(jnp.max(jnp.abs(wa - wb))) < tol * scale
+
+
+def _moist_bubble():
+    import numpy as np
+    from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics, Gravity,
+                                          HydrostaticState)
+    from climatemachine_tpu.atmos.model import AtmosProblem
+    from climatemachine_tpu.atmos.boundaryconditions import AtmosBC
+    from climatemachine_tpu.atmos.moisture import EquilMoist
+    from climatemachine_tpu.mesh.grid import make_grid
+    from climatemachine_tpu.mesh.topology import stacked_brick_topology
+    from climatemachine_tpu.physics import thermodynamics as td
+    from climatemachine_tpu.physics.parameters import EARTH
+    from climatemachine_tpu.physics.temperature_profiles import (
+        DryAdiabaticProfile)
+    ps = EARTH
+    L = 1000.0
+    r = [np.linspace(0, L, 4)] * 2 + [np.linspace(0, L, 4)]
+    topo = stacked_brick_topology(r, periodicity=(True, True, False),
+                                  boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    grid = make_grid(topo, 4, dtype=np.float64)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        moisture=EquilMoist())
+
+    def init(m, coords, aux, t):
+        x, z = coords[..., 0], coords[..., 2]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        rbl = jnp.sqrt((x - 500.0) ** 2 + (z - 300.0) ** 2)
+        thp = 1.0 * jnp.clip(1 - rbl / 200.0, 0, 1)
+        T = (300.0 + thp) * (p / ps.MSLP) ** ps.kappa_d
+        q_tot = 0.005 * jnp.exp(-z / 2000.0)
+        pp = td.PhasePartition.vapor(q_tot)
+        rho = p / (td.gas_constant_air(ps, pp) * T)
+        e_int = td.internal_energy(ps, T, pp)
+        return m.prog_spec.pack({"rho": rho, "rhoe": rho * (e_int + Phi),
+                                 "moisture.rhoq_tot": rho * q_tot},
+                                batch_shape=rho.shape)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(), AtmosBC())),
+                       sources=(Gravity(),))
+    return model, grid
+
+
+@pytest.mark.parametrize("flux_name", ["lmars", "roemoist", "roemoist_lm"])
+def test_moist_riemann_solvers(flux_name):
+    """LMARS / RoeMoist on the EquilMoist bubble: finite, conservative,
+    close to the Rusanov solution (reference RoeNumericalFluxMoist +
+    LMARSNumericalFlux moist paths)."""
+    import numpy as np
+    from climatemachine_tpu.atmos.numerical_fluxes import (
+        LMARSNumericalFlux, RoeNumericalFluxMoist)
+    flux = {"lmars": LMARSNumericalFlux(),
+            "roemoist": RoeNumericalFluxMoist(),
+            "roemoist_lm": RoeNumericalFluxMoist(LM=True)}[flux_name]
+    model, grid = _moist_bubble()
+    dg = DGModel(model, grid, numerical_flux_first_order=flux)
+    dg_rus = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    s1 = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    s2 = LSRK54CarpenterKennedy(lambda a, b, t: dg_rus(a, b, t), dt)
+    step1, step2 = jax.jit(s1.step), jax.jit(s2.step)
+    qa, qb, t = q0, q0, 0.0
+    auxa = auxb = aux
+    for _ in range(40):
+        qa, auxa = step1(qa, auxa, t)
+        qb, auxb = step2(qb, auxb, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(qa)))
+    for name in ["rho", "moisture.rhoq_tot"]:
+        sl = model.prog_spec.index(name).start
+        m0 = float(weightedsum(grid, q0, sl))
+        m1 = float(weightedsum(grid, qa, sl))
+        assert abs(m1 - m0) / abs(m0) < 1e-10, name
+    wa = model.prog(qa, "rhou")[..., 2]
+    wb = model.prog(qb, "rhou")[..., 2]
+    scale = float(jnp.max(jnp.abs(wb))) + 1e-30
+    tol = 0.7 if flux_name == 'lmars' else 0.25
+    assert float(jnp.max(jnp.abs(wa - wb))) < tol * scale
