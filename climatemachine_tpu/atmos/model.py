@@ -48,6 +48,7 @@ class AtmosPhysics:
     hyperdiffusion: Optional[object] = None  # DryBiharmonic etc.
     precipitation: Optional[object] = None   # RainModel or None
     viscoussponge: Optional[object] = None   # UpperAtmosSponge or None
+    sgstke: Optional[object] = None          # SGStkeModel or None
 
 
 @dataclass(frozen=True)
@@ -88,6 +89,10 @@ class AtmosModel(BalanceLaw):
                 physics.precipitation.vars_prognostic()
         if tracers.vars_prognostic().num:
             prog_fields["tracers"] = tracers.vars_prognostic()
+        if physics.sgstke is not None:
+            assert physics.turbulence is not None, \
+                "SGStkeModel needs a turbulence closure"
+            prog_fields["sgstke"] = physics.sgstke.vars_prognostic()
         self.prog_spec = VarSpec(**prog_fields)
 
         aux_fields = dict(coord=3,
@@ -124,6 +129,9 @@ class AtmosModel(BalanceLaw):
             if tracers.vars_gradient().num:
                 gfields["tracers"] = tracers.vars_gradient()
                 gffields["tracers"] = tracers.vars_gradient_flux()
+            if physics.sgstke is not None:
+                gfields["sgstke"] = physics.sgstke.vars_gradient()
+                gffields["sgstke"] = physics.sgstke.vars_gradient_flux()
             self.grad_spec = VarSpec(**gfields)
             self.gf_spec = VarSpec(**gffields)
         else:
@@ -292,6 +300,8 @@ class AtmosModel(BalanceLaw):
                 self.physics.precipitation.vars_prognostic().num:
             F = self.physics.precipitation.flux_first_order(self, q, aux,
                                                             F, u)
+        if self.physics.sgstke is not None:
+            F = self.physics.sgstke.flux_first_order(self, q, aux, F, u)
         return F
 
     def wavespeed(self, nrm, q, aux, t):
@@ -313,6 +323,9 @@ class AtmosModel(BalanceLaw):
         out = turb.gradient_argument(self, q, aux, t)
         out = self.physics.moisture.gradient_argument(self, q, aux, t, out)
         out = self.tracers.gradient_argument(self, q, aux, t, out)
+        if self.physics.sgstke is not None:
+            out = self.physics.sgstke.gradient_argument(self, q, aux, t,
+                                                        out)
         return out
 
     def compute_gradient_flux(self, grad_g, q, aux, t):
@@ -323,6 +336,9 @@ class AtmosModel(BalanceLaw):
         out = self.physics.moisture.gradient_flux(self, grad_g, q, aux, t,
                                                   out)
         out = self.tracers.gradient_flux(self, grad_g, q, aux, t, out)
+        if self.physics.sgstke is not None:
+            out = self.physics.sgstke.gradient_flux(self, grad_g, q, aux,
+                                                    t, out)
         return out
 
     def compute_gradient_laplacian_argument(self, q, aux, t):
@@ -348,6 +364,10 @@ class AtmosModel(BalanceLaw):
             F = self.physics.moisture.flux_second_order(self, q, gf, aux,
                                                         D_t, F)
             F = self.tracers.flux_second_order(self, q, gf, aux, D_t, F)
+            if self.physics.sgstke is not None:
+                nu, _ = turb.viscosity(self, q, gf, aux, t)
+                F = self.physics.sgstke.flux_second_order(self, q, gf,
+                                                          aux, nu, F)
         if self.physics.hyperdiffusion is not None and hyper is not None:
             F = self.physics.hyperdiffusion.flux(self, q, hyper, aux, F)
         return F
@@ -355,6 +375,10 @@ class AtmosModel(BalanceLaw):
     # --- sources ------------------------------------------------------------
     def source(self, q, gf, aux, t):
         out = jnp.zeros_like(q)
+        if self.physics.sgstke is not None:
+            sl = self.prog_spec.index("sgstke.rhoe_SGS")
+            out = out.at[..., sl.start].add(
+                self.physics.sgstke.source(self, q, gf, aux, t))
         for src in self.sources:
             for name, val in src.contributions(self, q, gf, aux, t).items():
                 sl = self.prog_spec.index(name)

@@ -280,3 +280,79 @@ class Vreman(TurbulenceClosure):
               - rho[..., None] * D_t * d_h_tot)
         F = model.prog_spec.set(F, "rhoe", Fe)
         return F
+
+
+@dataclass
+class AnisoMinDiss(TurbulenceClosure):
+    """Anisotropic minimum-dissipation closure (reference
+    TurbulenceClosures.jl:618 AnisoMinDiss; Rozema et al. 2015 /
+    Vreugdenhil & Taylor 2018): ν = (C_P δ)² max(0, −(∇uᵀ∇u):S/(∇u:∇u)),
+    vertical component scaled by the buoyancy factor f_b².  With the
+    isotropic per-node lengthscale δ the reference's δ-rescaled ∇û
+    reduces to ∇u."""
+    C_poincare: float = 1.0 / (jnp.pi ** 2)
+    needs_theta_v = True
+    needs_delta = True
+
+    def vars_gradient_flux(self) -> VarSpec:
+        return VarSpec(grad_u=9, S=6, d_h_tot=3, N2=1)
+
+    def gradient_flux(self, model, grad_g, q, aux, t):
+        gspec, fspec = model.grad_spec, model.gf_spec
+        sl_u = gspec.index("u")
+        grad_u = grad_g[..., :, sl_u]                   # [..., 3(x), 3(u)]
+        out = jnp.zeros(q.shape[:-1] + (fspec.num,), dtype=q.dtype)
+        out = fspec.set(out, "grad_u",
+                        grad_u.reshape(grad_u.shape[:-2] + (9,)))
+        out = fspec.set(out, "S", _pack_sym(_sym(grad_u)))
+        sl_h = gspec.index("h_tot")
+        out = fspec.set(out, "d_h_tot", grad_g[..., :, sl_h.start])
+        sl_t = gspec.index("theta_v")
+        grad_tv = grad_g[..., :, sl_t.start]
+        grad_Phi = model.aux_get(aux, "orientation.grad_Phi")
+        theta_v = self._theta_v(model, q, aux)
+        out = fspec.set(out, "N2",
+                        jnp.sum(grad_tv * grad_Phi, axis=-1) / theta_v)
+        return out
+
+    def viscosity(self, model, q, gf, aux, t):
+        ps = model.param_set
+        fspec = model.gf_spec
+        a = fspec.get(gf, "grad_u")
+        alpha = a.reshape(a.shape[:-1] + (3, 3))        # a[..,c,j]=du_j/dx_c
+        S = _unpack_sym(fspec.get(gf, "S"))
+        normS = strain_rate_magnitude(S)
+        N2 = fspec.get(gf, "N2")
+        delta = model.aux_get(aux, "turbulence.delta")
+
+        Ri = N2 / (normS ** 2 + 1e-30)
+        f_b2 = jnp.sqrt(jnp.clip(1.0 - Ri * ps.inv_Pr_turb, 0.0, 1.0))
+
+        num = -jnp.einsum("...im,...jm,...ij->...", alpha, alpha, S)
+        den = jnp.sum(alpha * alpha, axis=(-2, -1)) + 1e-30
+        nu0 = (self.C_poincare * delta) ** 2 * jnp.maximum(1e-5, num / den)
+
+        grad_Phi = model.aux_get(aux, "orientation.grad_Phi")
+        k = grad_Phi / ps.grav
+        nu_v = k * (nu0[..., None] * k).sum(-1, keepdims=True)
+        nu_diag = nu0[..., None] - nu_v + nu_v * f_b2[..., None]
+        return nu_diag, nu_diag * ps.inv_Pr_turb
+
+
+@dataclass
+class Deardorff(TurbulenceClosure):
+    """TKE-based closure (reference TurbulenceClosures.jl:700 Deardorff;
+    Deardorff 1980): ν = 0.1 l √e, D_t = (1 + 2l/Δ) ν with the prognostic
+    SGS TKE e from the paired :class:`SGStkeModel`
+    (atmos/sgstke.py) and the stability length l = min(0.76 √e/N_θ, Δ)."""
+    needs_theta_v = False
+    needs_delta = True
+
+    def viscosity(self, model, q, gf, aux, t):
+        sg = model.physics.sgstke
+        assert sg is not None, "Deardorff needs AtmosPhysics.sgstke"
+        l, delta, e = sg.stability_length(model, q, gf, aux)
+        nu0 = 0.1 * l * jnp.sqrt(e)
+        D_t0 = (1.0 + 2.0 * l / delta) * nu0
+        ones = jnp.ones((3,), dtype=nu0.dtype)
+        return nu0[..., None] * ones, D_t0[..., None] * ones

@@ -135,6 +135,18 @@ def virtual_temperature(ps: PlanetParameterSet, T,
     return gas_constant_air(ps, q) / ps.R_d * T
 
 
+def liquid_ice_pottemp(ps: PlanetParameterSet, T, p,
+                       q: Optional[PhasePartition] = None):
+    """Liquid-ice potential temperature θ_li = θ(1 − (L_v q_l + L_s q_i)
+    /(c_pm T)) (reference Thermodynamics.jl liquid_ice_pottemp, used by
+    the SGS-TKE model, sgstke.jl:107)."""
+    theta = dry_pottemp(ps, T, p, q)
+    if q is None:
+        return theta
+    return theta * (1.0 - (ps.LH_v0 * q.liq + ps.LH_s0 * q.ice)
+                    / (cp_m(ps, q) * T))
+
+
 # --- saturation -------------------------------------------------------------
 
 def liquid_fraction(ps: PlanetParameterSet, T):

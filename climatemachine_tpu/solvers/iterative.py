@@ -144,3 +144,41 @@ class ColumnwiseLUPreconditioner:
         shaped = v.reshape(self.col.layout.n_horz * self.col.layout.n_vert,
                            self.col.layout.Np, self.col.layout.nvars)
         return self.col.solve(shaped, self.alpha_dt).reshape(v.shape)
+
+
+def generalized_conjugate_residual(op: Callable, b, x0=None,
+                                   n_krylov: int = 20, restarts: int = 1):
+    """Restarted GCR(k) for general (nonsymmetric) op(x) = b (reference
+    generalized_conjugate_residual_solver.jl).  Minimizes ‖b − Ax‖₂ over
+    the Krylov space with explicitly A-orthogonalized search directions;
+    static iteration counts (no data-dependent exits).  Returns
+    (x, residual_norm)."""
+    b = b.reshape(-1)
+
+    def A(v):
+        return op(v.reshape(b.shape)).reshape(-1)
+
+    def cycle(x):
+        r = b - A(x)
+        ps, Aps = [], []
+        for k in range(n_krylov):
+            p = r
+            Ap = A(p)
+            # A-orthogonalize against previous directions
+            for pj, Apj in zip(ps, Aps):
+                beta = jnp.vdot(Apj, Ap) / jnp.vdot(Apj, Apj)
+                p = p - beta * pj
+                Ap = Ap - beta * Apj
+            denom = jnp.vdot(Ap, Ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-300,
+                              jnp.vdot(Ap, r) / denom, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            ps.append(p)
+            Aps.append(Ap)
+        return x, r
+
+    x = jnp.zeros_like(b) if x0 is None else x0.reshape(-1)
+    for _ in range(restarts):
+        x, r = cycle(x)
+    return x.reshape(b.shape), jnp.linalg.norm(r)

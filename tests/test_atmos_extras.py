@@ -206,3 +206,59 @@ def test_remove_precipitation_sink():
     m1 = float(weightedsum(grid, q, sl))
     assert m1 < m0  # precipitation removed water
     assert bool(jnp.all(jnp.isfinite(q)))
+
+
+def test_rain_snow_model():
+    """Cold supersaturated column with RainSnow1M: snow forms aloft in
+    sub-freezing air, rain in warm air; everything finite and bounded
+    (reference RainSnowModel + rain_snow_sources)."""
+    from climatemachine_tpu.atmos.precipitation import (RainSnow1M,
+                                                       RainSnowModel)
+    ps = EARTH
+    grid = _grid(nz=4, poly=3)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(285.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        moisture=EquilMoist(),
+        precipitation=RainSnowModel())
+
+    def init(m, coords, aux, t):
+        z = coords[..., 2]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        # cold aloft (below freezing even after latent-heat release)
+        T = 270.0 - 0.009 * z
+        q_tot = jnp.where(z > 300.0, 0.003, 5e-4)
+        pp = td.PhasePartition.vapor(q_tot)
+        rho = p / (td.gas_constant_air(ps, pp) * T)
+        return m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T, pp) + Phi),
+             "moisture.rhoq_tot": rho * q_tot},
+            batch_shape=rho.shape)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(), RainSnow1M()))
+    assert model.prog_spec.num == 5 + 1 + 2
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    # sub-freezing condensate exists -> ice present aloft
+    qi = model.aux_get(aux, "moisture.q_ice")
+    assert float(jnp.max(qi)) > 1e-5
+
+    dt = 0.25 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(80):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    q_sno = model.prog(q, "precipitation.rhoq_sno")
+    q_rai = model.prog(q, "precipitation.rhoq_rai")
+    assert float(jnp.max(q_sno)) > 0.0   # snow formed in cold air
+    assert float(jnp.max(q_sno)) < 0.05
+    assert float(jnp.max(jnp.abs(q_rai))) < 0.05

@@ -104,3 +104,17 @@ def test_gmres_with_columnwise_preconditioner():
                    precond=lambda v: pre(v).reshape(-1))
     # exact-inverse preconditioner: solved in a couple of iterations
     assert float(res) / float(jnp.linalg.norm(b)) < 1e-10
+
+
+def test_gcr_matches_direct_solve():
+    """GCR on a nonsymmetric system (reference
+    generalized_conjugate_residual_solver.jl)."""
+    from climatemachine_tpu.solvers.iterative import (
+        generalized_conjugate_residual)
+    rng = np.random.default_rng(3)
+    A = np.eye(40) + 0.25 * rng.standard_normal((40, 40))
+    b = rng.standard_normal(40)
+    x, r = generalized_conjugate_residual(
+        lambda v: jnp.asarray(A) @ v, jnp.asarray(b), n_krylov=40)
+    assert float(r) < 1e-10
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-9)

@@ -97,3 +97,86 @@ def test_smagorinsky_runs_and_dissipates():
         return float(jnp.sum(M * 0.5 * jnp.sum(rhou ** 2, -1) / rho))
 
     assert ke(q) < ke(q0)
+
+
+def test_anisomindiss_runs_and_dissipates():
+    """AnisoMinDiss closure (reference TurbulenceClosures.jl:618) on the
+    shear box: positive eddy viscosity, KE decays, state stays finite."""
+    from climatemachine_tpu.common.turbulence import AnisoMinDiss
+    model, grid, k = _shear_model(0.0, turbulence=AnisoMinDiss())
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(50):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+
+    def ke(qq):
+        rho = model.prog(qq, "rho")
+        rhou = model.prog(qq, "rhou")
+        return float(jnp.sum(grid.M * 0.5 * jnp.sum(rhou ** 2, -1) / rho))
+
+    assert ke(q) < ke(q0)
+
+
+def test_deardorff_sgstke():
+    """Deardorff TKE closure + prognostic SGS TKE (reference sgstke.jl +
+    TurbulenceClosures.jl:700): shear production feeds e_SGS, resolved KE
+    decays, TKE stays bounded and finite."""
+    from climatemachine_tpu.atmos.sgstke import SGStkeModel
+    from climatemachine_tpu.common.orientations import NoOrientation
+    from climatemachine_tpu.common.turbulence import Deardorff
+    ps = EARTH
+    L = 1000.0
+    r = [np.linspace(0, L, 4)] * 3
+    topo = brick_topology(r, periodicity=(True, True, True))
+    grid = make_grid(topo, 4, dtype=np.float64)
+    physics = AtmosPhysics(orientation=NoOrientation(),
+                           turbulence=Deardorff(),
+                           sgstke=SGStkeModel())
+    T0, u0, e0 = 300.0, 1.0, 0.1
+    kz = 2 * np.pi / L
+
+    def init(m, coords, aux, t):
+        z = coords[..., 2]
+        rho = jnp.full_like(z, 1.0)
+        u = u0 * jnp.sin(kz * z)
+        rhou = jnp.stack([rho * u, jnp.zeros_like(u), jnp.zeros_like(u)],
+                         axis=-1)
+        e_int = td.internal_energy(ps, jnp.full_like(z, T0))
+        q = m.prog_spec.pack(
+            {"rho": rho, "rhoe": rho * (e_int + 0.5 * u ** 2),
+             "sgstke.rhoe_SGS": rho * e0}, batch_shape=rho.shape)
+        return m.prog_spec.set(q, "rhou", rhou)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),) * 2))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    tend, _ = dg(q0, aux, 0.0)
+    assert bool(jnp.all(jnp.isfinite(tend)))
+    # with weak shear, dissipation (-rho C e^1.5/l) dominates production:
+    # net TKE tendency is negative and of the analytic magnitude
+    sl = model.prog_spec.index("sgstke.rhoe_SGS").start
+    net = float(jnp.sum(grid.M * tend[..., sl]))
+    vol = float(jnp.sum(grid.M))
+    delta = float(jnp.max(model.aux_get(aux, "turbulence.delta")))
+    diss_est = -0.7 * e0 ** 1.5 / delta * vol
+    assert diss_est * 3 < net < 0.0, (net, diss_est)
+
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(60):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    e_sgs = model.prog(q, "sgstke.rhoe_SGS") / model.prog(q, "rho")
+    assert float(jnp.max(e_sgs)) < 10.0
+    assert float(jnp.min(e_sgs)) > -0.05
