@@ -6,10 +6,15 @@ vars_state composition :112-140), ``soil_model.jl`` (:168 SoilModel),
 gradient h; flux -K∇h) and ``soil_heat.jl`` (:37 SoilHeatModel —
 prognostic ρe_int; flux -κ∇T).
 
-Subset scope: Richards equation with vanGenuchten/BrooksCorey hydraulics
-and heat diffusion; freeze-thaw phase change and runoff/surface flow are
-deferred (documented divergence).  BCs: Dirichlet (prescribed state) or
-Neumann (prescribed flux) per boundary tag.
+Also: freeze/thaw phase change (reference source.jl PhaseChange :18-120,
+SoilHeatParameterizations.jl T(ρe_int, θ_i) recovery), moisture-dependent
+thermal properties (SoilHeatModel(coupled_properties=True)), surface
+runoff BCs (Runoff.jl NoRunoff/CoarseGridRunoff via
+:class:`SurfaceRunoffBC`) and radiative energy BCs
+(RadiativeEnergyFlux.jl via :class:`RadiativeEnergyFlux`).  BCs:
+Dirichlet (prescribed state) or Neumann (prescribed flux; values may be
+``fn(q_minus, aux_minus, t)``) per boundary tag.  Overland flow lives in
+land/surface_flow.py.
 """
 
 from __future__ import annotations
@@ -52,9 +57,13 @@ class SoilWaterModel:
 
 @dataclass
 class SoilHeatModel:
-    """(reference soil_heat.jl:37)"""
+    """(reference soil_heat.jl:37).  ``coupled_properties``: use
+    moisture/ice-dependent ρc_s, κ and the ice latent term in T(ρe_int)
+    (reference SoilHeatParameterizations.jl); otherwise constant
+    rho_c_soil/kappa_soil."""
     initial_T: Callable = None
     T_ref: float = 288.0
+    coupled_properties: bool = False
 
 
 @dataclass
@@ -68,9 +77,11 @@ class LandModel(BalanceLaw):
     """(reference LandModel.jl:58)"""
 
     def __init__(self, soil: SoilModel, boundary_conditions=(LandBC(),
-                                                             LandBC())):
+                                                             LandBC()),
+                 sources=()):
         self.soil = soil
         self.bcs = tuple(boundary_conditions)
+        self.sources = tuple(sources)
 
         prog, aux, grad, gf = {}, dict(coord=3, z=1), {}, {}
         if soil.water is not None:
@@ -109,10 +120,45 @@ class LandModel(BalanceLaw):
         return self.aux_spec.get(aux, name)
 
     # --- thermal recovery ---------------------------------------------------
-    def temperature(self, q):
+    def _water_content(self, q):
+        if self.soil.water is None:
+            z = self.prog(q, "rho_e_int")
+            return jnp.zeros_like(z), jnp.zeros_like(z)
+        return self.prog(q, "vartheta_l"), self.prog(q, "theta_i")
+
+    def heat_capacity(self, q):
         p = self.soil.params
-        return (self.soil.heat.T_ref
-                + self.prog(q, "rho_e_int") / p.rho_c_soil)
+        if not self.soil.heat.coupled_properties:
+            return p.rho_c_soil
+        th_l, th_i = self._water_content(q)
+        return sp.volumetric_heat_capacity(p, th_l, th_i)
+
+    def thermal_conductivity(self, q):
+        p = self.soil.params
+        if not self.soil.heat.coupled_properties:
+            return p.kappa_soil
+        th_l, th_i = self._water_content(q)
+        return sp.thermal_conductivity(p, th_l, th_i)
+
+    def temperature(self, q):
+        """T(ρe_int, θ_i) (reference temperature_from_ρe_int,
+        SoilHeatParameterizations.jl:41)."""
+        p = self.soil.params
+        heat = self.soil.heat
+        if not heat.coupled_properties:
+            return heat.T_ref + self.prog(q, "rho_e_int") / p.rho_c_soil
+        _, th_i = self._water_content(q)
+        return sp.temperature_from_rho_e_int(
+            p, self.prog(q, "rho_e_int"), th_i, self.heat_capacity(q),
+            heat.T_ref)
+
+    def rho_e_int_from_T(self, q_like, T, theta_i):
+        p = self.soil.params
+        heat = self.soil.heat
+        if not heat.coupled_properties:
+            return p.rho_c_soil * (T - heat.T_ref)
+        rc = self.heat_capacity(q_like)
+        return sp.volumetric_internal_energy(p, T, theta_i, rc, heat.T_ref)
 
     # --- init ----------------------------------------------------------------
     def nodal_init_state_auxiliary(self, geom, aux):
@@ -127,9 +173,9 @@ class LandModel(BalanceLaw):
             q = self.prog_spec.set(q, "vartheta_l", v)
         if self.soil.heat is not None:
             T = self.soil.heat.initial_T(coords, t)
-            p = self.soil.params
+            _, th_i = self._water_content(q)
             q = self.prog_spec.set(q, "rho_e_int",
-                                   p.rho_c_soil * (T - self.soil.heat.T_ref))
+                                   self.rho_e_int_from_T(q, T, th_i))
         return q
 
     # --- aux update: h and K (reference land_nodal_update_auxiliary_state!)
@@ -167,8 +213,10 @@ class LandModel(BalanceLaw):
             out = self.gf_spec.set(out, "K_grad_h", K[..., None] * gh)
         if self.soil.heat is not None:
             gT = grad_g[..., :, self.grad_spec.index("T").start]
-            out = self.gf_spec.set(out, "kappa_grad_T",
-                                   self.soil.params.kappa_soil * gT)
+            kappa = self.thermal_conductivity(q)
+            if not jnp.isscalar(kappa) and getattr(kappa, "ndim", 0):
+                kappa = kappa[..., None]
+            out = self.gf_spec.set(out, "kappa_grad_T", kappa * gT)
         return out
 
     def flux_second_order(self, q, gf, hyper, aux, t):
@@ -179,6 +227,15 @@ class LandModel(BalanceLaw):
         if self.soil.heat is not None:
             F = s.set(F, "rho_e_int", -self.gf_spec.get(gf, "kappa_grad_T"))
         return F
+
+    # --- sources ------------------------------------------------------------
+    def source(self, q, gf, aux, t):
+        out = jnp.zeros_like(q)
+        for src_ in self.sources:
+            for name, val in src_.contributions(self, q, gf, aux, t).items():
+                sl = self.prog_spec.index(name)
+                out = out.at[..., sl.start].add(val)
+        return out
 
     # --- boundary conditions ------------------------------------------------
     def boundary_conditions(self):
@@ -217,11 +274,25 @@ class LandModel(BalanceLaw):
         bc = self.bcs[tag - 1]
         fs = self.gf_spec
         gfP = gf_minus
+        def _neumann_value(v):
+            if not callable(v):
+                return v
+            import inspect
+            try:
+                nparams = len(inspect.signature(v).parameters)
+            except (TypeError, ValueError):
+                nparams = 1
+            val = v(q_minus, aux_minus, t) if nparams >= 3 else v(t)
+            if getattr(val, "ndim", 0):
+                val = val[..., None]          # broadcast against nrm
+            return val
+
         if self.soil.water is not None:
             if isinstance(bc.water, Neumann):
-                val = bc.water.value(t) if callable(bc.water.value) else \
-                    bc.water.value
-                target = -nrm * val            # flux = -K∇h·n = -val inward
+                val = _neumann_value(bc.water.value)
+                # inward water flux val>0: F·n = (−K∇h)·n = −val, i.e.
+                # the K∇h ghost target is +n·val
+                target = nrm * val
                 gfP = fs.set(gfP, "K_grad_h",
                              2.0 * target - fs.get(gf_minus, "K_grad_h"))
             elif not isinstance(bc.water, Dirichlet):
@@ -230,9 +301,8 @@ class LandModel(BalanceLaw):
                              -fs.get(gf_minus, "K_grad_h"))
         if self.soil.heat is not None:
             if isinstance(bc.heat, Neumann):
-                val = bc.heat.value(t) if callable(bc.heat.value) else \
-                    bc.heat.value
-                target = -nrm * val
+                val = _neumann_value(bc.heat.value)
+                target = nrm * val             # inward heat flux val>0
                 gfP = fs.set(gfP, "kappa_grad_T",
                              2.0 * target - fs.get(gf_minus,
                                                    "kappa_grad_T"))

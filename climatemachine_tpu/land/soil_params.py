@@ -56,14 +56,25 @@ class BrooksCorey:
 
 @dataclass(frozen=True)
 class SoilParams:
-    """Bulk soil properties (reference soil_model.jl SoilParamFunctions)."""
+    """Bulk soil properties (reference soil_model.jl SoilParamFunctions +
+    SoilHeatParameterizations.jl constants)."""
     porosity: float = 0.4
     Ksat: float = 1e-5          # m/s saturated conductivity
     S_s: float = 1e-3           # 1/m specific storage
     theta_r: float = 0.08       # residual water fraction
     # heat
     rho_c_soil: float = 2.0e6   # J/(K m^3) dry volumetric heat capacity
-    kappa_soil: float = 1.5     # W/(m K) thermal conductivity
+    kappa_soil: float = 1.5     # W/(m K) thermal conductivity (constant mode)
+    # freeze/thaw + moisture-dependent thermal properties
+    rho_liq: float = 1e3        # kg/m^3
+    rho_ice: float = 917.0      # kg/m^3
+    c_liq: float = 4181.0       # J/(kg K)
+    c_ice: float = 2100.0       # J/(kg K)
+    LH_f0: float = 3.34e5       # J/kg latent heat of fusion
+    T_freeze: float = 273.15    # K
+    kappa_dry: float = 0.25           # W/(m K)
+    kappa_sat_unfrozen: float = 2.0   # W/(m K)
+    kappa_sat_frozen: float = 3.0     # W/(m K)
 
 
 def effective_saturation(porosity, vartheta_l, theta_r):
@@ -84,3 +95,40 @@ def hydraulic_conductivity(Ksat, hydraulics, S_l, impedance=1.0,
                            viscosity=1.0):
     """(reference :490) K = Ksat · impedance · viscosity · moisture."""
     return Ksat * impedance * viscosity * hydraulics.moisture_factor(S_l)
+
+
+# --- heat parameterizations (reference SoilHeatParameterizations.jl) --------
+
+def volumetric_heat_capacity(p: SoilParams, theta_l, theta_i):
+    """ρc_s = ρc_ds + θ_l ρ_l c_l + θ_i ρ_i c_i (reference :64)."""
+    return (p.rho_c_soil + theta_l * p.rho_liq * p.c_liq
+            + theta_i * p.rho_ice * p.c_ice)
+
+
+def temperature_from_rho_e_int(p: SoilParams, rho_e_int, theta_i, rho_c_s,
+                               T_ref):
+    """T = T_ref + (ρe_int + θ_i ρ_i L_f)/ρc_s (reference :41)."""
+    return T_ref + (rho_e_int + theta_i * p.rho_ice * p.LH_f0) / rho_c_s
+
+
+def volumetric_internal_energy(p: SoilParams, T, theta_i, rho_c_s, T_ref):
+    """Inverse of :func:`temperature_from_rho_e_int` (reference :90)."""
+    return rho_c_s * (T - T_ref) - theta_i * p.rho_ice * p.LH_f0
+
+
+def relative_saturation(theta_l, theta_i, porosity):
+    """(θ_l + θ_i)/ν (reference :138)."""
+    return (theta_l + theta_i) / porosity
+
+
+def thermal_conductivity(p: SoilParams, theta_l, theta_i):
+    """κ = κ_dry + K_e (κ_sat − κ_dry) with the relative saturation as
+    the (simplified) Kersten number and the frozen/unfrozen κ_sat blend
+    (reference :113/:184; the quartz/organic Kersten fit is collapsed to
+    K_e = S_r)."""
+    S_r = jnp.clip(relative_saturation(theta_l, theta_i, p.porosity),
+                   0.0, 1.0)
+    frac_i = theta_i / jnp.maximum(theta_l + theta_i, 1e-10)
+    kappa_sat = (p.kappa_sat_unfrozen ** (1.0 - frac_i)
+                 * p.kappa_sat_frozen ** frac_i)
+    return p.kappa_dry + S_r * (kappa_sat - p.kappa_dry)
