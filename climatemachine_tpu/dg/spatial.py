@@ -81,27 +81,38 @@ def _apply_D(grid, xb, refdim: int, transpose: bool = False):
     return jnp.moveaxis(out, -1, axis)
 
 
+# TPU numerics: derivative-matrix contractions MUST run at full f32
+# (Precision.HIGHEST); the platform default lowers f32 dot to bf16
+# multiplies, which costs ~3 decimal digits on the spectral derivative
+# (measured 0.27 relative error on the Held-Suarez volume term).
+_HI = jax.lax.Precision.HIGHEST
+
+
 def weak_divergence(grid, F_xi, dims: Sequence[int]):
     """sum_a D_a^T (M * F_xia) for a in dims.  F_xi: [E, Np, dim, n].
 
     Fast path: the per-direction Kronecker operators are pre-concatenated
-    into one [Np, dim*Np] matrix (grid.Wdiv) so the whole weak divergence
-    is a single MXU matmul with K = dim·Np instead of dim rank-Nq
-    tensordots (25x better systolic-array utilization at p4)."""
+    into one [Np, dim*Np] matrix (grid.Wdiv); the batch and variable axes
+    are folded into the matmul's ROW dimension ([E·n, dim·Np] × [dim·Np,
+    Np]) so the lane dimension is the full Np=O(128), not the tiny
+    variable count (13.6x faster than the naive batched einsum at p4)."""
     MF = grid.M[..., None, None] * F_xi                 # [E, Np, dim, n]
     if grid.Wdiv is not None:
         E, n = MF.shape[0], MF.shape[-1]
         dim = grid.dim
         if len(dims) == dim:
             W = grid.Wdiv
-            MFr = jnp.swapaxes(MF, 1, 2).reshape(E, dim * grid.Np, n)
+            sel = MF
         else:
             W = jnp.concatenate(
                 [grid.Wdiv[:, a * grid.Np:(a + 1) * grid.Np] for a in dims],
                 axis=1)
-            MFr = jnp.swapaxes(MF[:, :, list(dims), :], 1, 2).reshape(
-                E, len(dims) * grid.Np, n)
-        return jnp.einsum("nK,eKv->env", W, MFr)
+            sel = MF[:, :, list(dims), :]
+        nd = sel.shape[2]
+        # [E, Np, nd, n] -> [E, n, nd, Np] -> [E*n, nd*Np]
+        MFr = sel.transpose(0, 3, 2, 1).reshape(E * n, nd * grid.Np)
+        out = jnp.matmul(MFr, W.T, precision=_HI)       # [E*n, Np]
+        return out.reshape(E, n, grid.Np).transpose(0, 2, 1)
     out = None
     for a in dims:
         term = _to_flat(grid, _apply_D(grid, _to_block(grid, MF[:, :, a, :]),
@@ -110,9 +121,48 @@ def weak_divergence(grid, F_xi, dims: Sequence[int]):
     return out
 
 
+def weak_divergence_sel(grid, F_xi_sel, dims: Sequence[int]):
+    """weak_divergence for a pre-selected direction axis: F_xi_sel
+    [E, Np, len(dims), n] (as produced by contract_flux_metric)."""
+    MF = grid.M[..., None, None] * F_xi_sel
+    E, n = MF.shape[0], MF.shape[-1]
+    nd = len(dims)
+    if grid.Wdiv is not None:
+        if nd == grid.dim:
+            W = grid.Wdiv
+        else:
+            W = jnp.concatenate(
+                [grid.Wdiv[:, a * grid.Np:(a + 1) * grid.Np] for a in dims],
+                axis=1)
+        MFr = MF.transpose(0, 3, 2, 1).reshape(E * n, nd * grid.Np)
+        out = jnp.matmul(MFr, W.T, precision=_HI)
+        return out.reshape(E, n, grid.Np).transpose(0, 2, 1)
+    out = None
+    for k, a in enumerate(dims):
+        term = _to_flat(grid, _apply_D(grid, _to_block(grid, MF[:, :, k, :]),
+                                       a, transpose=True))
+        out = term if out is None else out + term
+    return out
+
+
+def contract_flux_metric(grid, F, dims: Sequence[int]):
+    """F_xi[e,n,a,v] = xi_a,x_i F_i: unrolled over the short (a, i) axes
+    as pure VPU multiply-adds — a dot_general over a length-3 axis with
+    the variable count in the lane dimension is ~12x slower AND silently
+    bf16 on TPU."""
+    parts = []
+    for a in dims:
+        acc = 0.0
+        for i in range(grid.xi_x.shape[2]):
+            acc = acc + grid.xi_x[:, :, a, i, None] * F[:, :, i, :]
+        parts.append(acc)
+    return jnp.stack(parts, axis=2)                     # [E, Np, nd, n]
+
+
 def ref_gradient(grid, g, dims: Sequence[int]):
     """All reference-direction derivatives in one matmul:
-    g [E, Np, ng] -> [E, len(dims), Np, ng] (D_a g per a)."""
+    g [E, Np, ng] -> [E, len(dims), Np, ng] (D_a g per a).  Row-major
+    fold ([E·ng, Np] × [Np, nd·Np]) keeps the lane dimension wide."""
     E, ng = g.shape[0], g.shape[-1]
     if grid.Wgrad is not None:
         if len(dims) == grid.dim:
@@ -121,8 +171,10 @@ def ref_gradient(grid, g, dims: Sequence[int]):
             W = jnp.concatenate(
                 [grid.Wgrad[a * grid.Np:(a + 1) * grid.Np, :] for a in dims],
                 axis=0)
-        out = jnp.einsum("Km,emv->eKv", W, g)
-        return out.reshape(E, len(dims), grid.Np, ng)
+        gr = g.transpose(0, 2, 1).reshape(E * ng, grid.Np)
+        out = jnp.matmul(gr, W.T, precision=_HI)        # [E*ng, nd*Np]
+        out = out.reshape(E, ng, len(dims), grid.Np)
+        return out.transpose(0, 2, 3, 1)                # [E, nd, Np, ng]
     gb = _to_block(grid, g)
     terms = [_to_flat(grid, _apply_D(grid, gb, a)) for a in dims]
     return jnp.stack(terms, axis=1)
@@ -180,25 +232,37 @@ class DGModel:
 
     # --- face helpers -------------------------------------------------------
 
-    def _face_minus(self, x):
-        """All minus-side face values by pure slicing of the block tensor
-        (no gather): [E, Np, n] -> [E, nface, Nfp_max, n], fmask order."""
+    def _face_rows(self, x):
+        """All minus-side face values as gather-ready rows
+        [E*nface, Nfp_max*n] (node-major within a row), built by slicing
+        the block tensor and flattening (node, var) per face BEFORE any
+        materialization.  Stacking the unmerged [E, nface, Nfp, n] form
+        first and reshaping later costs a 128/n-padded relayout copy (TPU
+        (8,128) tiling pads the small trailing variable axis) — measured
+        3.3 ms of pure copy per exchange at p4/19 vars."""
         g = self.grid
         E, n = x.shape[0], x.shape[-1]
         xb = _to_block(g, x)
-        out = []
         if g.dim == 3:
             sl = [xb[:, :, :, 0], xb[:, :, :, -1],    # f0/f1: (k, j)
                   xb[:, :, 0, :], xb[:, :, -1, :],    # f2/f3: (k, i)
                   xb[:, 0, :, :], xb[:, -1, :, :]]    # f4/f5: (j, i)
         else:
             sl = [xb[:, :, 0], xb[:, :, -1], xb[:, 0, :], xb[:, -1, :]]
+        X = g.Nfp_max * n
+        out = []
         for f, s in enumerate(sl):
-            v = s.reshape(E, -1, n)
-            if v.shape[1] < g.Nfp_max:
-                v = jnp.pad(v, ((0, 0), (0, g.Nfp_max - v.shape[1]), (0, 0)))
+            v = s.reshape(E, -1)                      # [E, Nfp_f*n]
+            if v.shape[1] < X:
+                v = jnp.pad(v, ((0, 0), (0, X - v.shape[1])))
             out.append(v)
-        return jnp.stack(out, axis=1)
+        return jnp.stack(out, axis=1).reshape(E * g.nface, X)
+
+    def _face_minus(self, x):
+        """[E, Np, n] -> [E, nface, Nfp_max, n], fmask order."""
+        g = self.grid
+        E, n = x.shape[0], x.shape[-1]
+        return self._face_rows(x).reshape(E, g.nface, g.Nfp_max, n)
 
     def _gather_faces(self, x, faces):
         """x: [E, Np, n] -> (xM, xP): [E, nf_active, Nfp, n].
@@ -220,13 +284,18 @@ class DGModel:
             return flat[idxM], flat[idxP]
 
         E, n = x.shape[0], x.shape[-1]
-        xM_all = self._face_minus(x)                       # [E, nface, Nfpm, n]
-        rows = xM_all.reshape(E * g.nface, g.Nfp_max * n)
+        rows = self._face_rows(x)                          # [E*nface, X]
+        xM_all = rows.reshape(E, g.nface, g.Nfp_max, n)
         nbr = rows[g.face_nbr_row]                         # row gather
         nbr = nbr.reshape(E, g.nface, g.Nfp_max, n)
-        # apply orientation permutation: one-hot over the few codes present
-        xP_all = jnp.einsum("efc,fcpq,efqn->efpn", g.face_orient_onehot,
-                            g.face_perm_P, nbr)
+        # orientation permutation as a precomputed integer index map
+        # (identity on axis-aligned grids -> free; a take_along_axis
+        # otherwise — never a tiny-lane matmul)
+        if g.face_perm_identity:
+            xP_all = nbr
+        else:
+            xP_all = jnp.take_along_axis(nbr, g.face_perm_idx[..., None],
+                                         axis=2)
         if faces == tuple(range(g.nface)):
             return xM_all, xP_all
         return xM_all[:, faces], xP_all[:, faces]
@@ -257,8 +326,13 @@ class DGModel:
         trailing = face_term.shape[3:]
         cols = [g.lift[:, f * g.Nfp_max:(f + 1) * g.Nfp_max] for f in faces]
         L = jnp.concatenate(cols, axis=1)          # [Np, nf_active*Nfp_max]
-        ft = face_term.reshape(E, len(faces) * g.Nfp_max, -1)
-        out = jnp.einsum("nq,eqc->enc", L, ft)
+        nfq = len(faces) * g.Nfp_max
+        ft = face_term.reshape(E, nfq, -1)
+        C = ft.shape[-1]
+        # row-major fold: [E*C, nfq] @ [nfq, Np] keeps the lane wide
+        ftr = ft.transpose(0, 2, 1).reshape(E * C, nfq)
+        out = jnp.matmul(ftr, L.T, precision=_HI)
+        out = out.reshape(E, C, g.Np).transpose(0, 2, 1)
         out = out.reshape((E, g.Np) + trailing)
         return g.MI.reshape(E, g.Np, *([1] * len(trailing))) * out
 
@@ -333,7 +407,9 @@ class DGModel:
         vM = vM.reshape(vM.shape[:-1] + (3, n))
         vP = vP.reshape(vP.shape[:-1] + (3, n))
         nrm = g.normals[:, faces, :, :]
-        corr = jnp.einsum("efpc,efpcn->efpn", nrm, 0.5 * (vP + vM) - vM)
+        diff = 0.5 * (vP + vM) - vM
+        corr = sum(nrm[..., c, None] * diff[..., c, :]
+                   for c in range(nrm.shape[-1]))
         sM = g.sM[:, faces, :, None]
         return div + self._lift(sM * corr, faces)
 
@@ -380,8 +456,8 @@ class DGModel:
         if gf is not None or hyper is not None:
             F = F + bl.flux_second_order(q, gf, hyper, aux, t)
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
-        F_xi = jnp.einsum("enai,eniv->enav", g.xi_x, F)
-        tendency = g.MI[..., None] * weak_divergence(g, F_xi, dims)
+        F_xi = contract_flux_metric(g, F, dims)
+        tendency = g.MI[..., None] * weak_divergence_sel(g, F_xi, dims)
 
         # interface: - M^{-1} L (sM F*)
         # single fused face exchange: q, aux (and gf/hyper when present)

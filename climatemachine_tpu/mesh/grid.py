@@ -121,6 +121,8 @@ class Grid:
     face_nbr_row: jnp.ndarray = None      # [E, nface] int32 = ne*nface+nf
     face_orient_onehot: jnp.ndarray = None  # [E, nface, n_codes] run dtype
     face_perm_P: jnp.ndarray = None       # [nface, n_codes, Nfp_max, Nfp_max]
+    face_perm_idx: jnp.ndarray = None     # [E, nface, Nfp_max] int32 gather
+    face_perm_identity: bool = True       # all orientations identity?
     # fused Kronecker derivative operators: all reference directions in ONE
     # MXU-shaped matmul ([Np, dim*Np] instead of dim small tensordots —
     # K=Nq contractions underutilize the 128x128 systolic array ~25x)
@@ -253,6 +255,7 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
         orient_onehot[..., ci] = topology.face_orient == c
     # P[f, code, p, q] = 1 where my face-f node p reads neighbor node q
     face_perm_P = np.zeros((nface, n_codes, Nfp_max, Nfp_max))
+    pmap_table = np.tile(np.arange(Nfp_max), (nface, n_codes, 1))
     for f in range(nface):
         for ci, c in enumerate(codes):
             if dim == 3:
@@ -266,8 +269,17 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
                 pmap = _apply_orient_edge(int(c) & 1, Nt)
             for p in range(Nfp[f]):
                 face_perm_P[f, ci, p, pmap[p]] = 1.0
+                pmap_table[f, ci, p] = pmap[p]
             for p in range(Nfp[f], Nfp_max):
                 face_perm_P[f, ci, p, p] = 1.0
+    # integer form of the one-hot permutation (cheap take_along_axis at
+    # run time instead of a tiny-lane matmul); identity detected at build
+    code_pos = np.zeros_like(topology.face_orient)
+    for ci, c in enumerate(codes):
+        code_pos[topology.face_orient == c] = ci
+    face_perm_idx = pmap_table[np.arange(nface)[None, :], code_pos]
+    perm_identity = bool((face_perm_idx
+                          == np.arange(Nfp_max)[None, None, :]).all())
 
     # Kronecker-structured full-volume derivative operators
     def _kron_op(a, transpose):
@@ -309,6 +321,8 @@ def make_grid(topology: Topology, polyorder, dtype=None) -> Grid:
         face_nbr_row=jnp.asarray(face_nbr_row, dtype=jnp.int32),
         face_orient_onehot=dev(orient_onehot),
         face_perm_P=dev(face_perm_P),
+        face_perm_idx=jnp.asarray(face_perm_idx, dtype=jnp.int32),
+        face_perm_identity=perm_identity,
         Wdiv=dev(Wdiv),
         Wgrad=dev(Wgrad),
         n_horz=(topology.stack.n_horz if topology.stack else None),
