@@ -49,6 +49,9 @@ class AtmosPhysics:
     precipitation: Optional[object] = None   # RainModel or None
     viscoussponge: Optional[object] = None   # UpperAtmosSponge or None
     sgstke: Optional[object] = None          # SGStkeModel or None
+    energy: Optional[object] = None          # TotalEnergyModel (default)
+                                             # or ThetaModel (rhoe slot
+                                             # holds rho*theta_li)
 
 
 @dataclass(frozen=True)
@@ -70,9 +73,18 @@ class AtmosModel(BalanceLaw):
         from climatemachine_tpu.atmos.moisture import DryModel
         from climatemachine_tpu.atmos.tracers import NoTracers
 
+        from climatemachine_tpu.atmos.energy import TotalEnergyModel
+        updates = {}
         if physics.moisture is None:
-            physics = AtmosPhysics(**{**physics.__dict__,
-                                      "moisture": DryModel()})
+            updates["moisture"] = DryModel()
+        if physics.energy is None:
+            updates["energy"] = TotalEnergyModel()
+        if updates:
+            physics = AtmosPhysics(**{**physics.__dict__, **updates})
+        if physics.energy.is_theta:
+            assert physics.moisture is None or \
+                isinstance(physics.moisture, DryModel), \
+                "ThetaModel energy is dry-only in this build"
         self.physics = physics
         self.problem = problem
         self.sources = tuple(sources)
@@ -276,6 +288,18 @@ class AtmosModel(BalanceLaw):
         F = jnp.zeros(q.shape[:-1] + (3, n), dtype=q.dtype)
         s = self.prog_spec
         F = s.set(F, "rho", rhou)
+        if self.physics.energy.is_theta:
+            # theta equation: pure advection, no pressure-work term
+            # (reference tendencies_energy.jl theta branch)
+            Fm = rhou[..., :, None] * u[..., None, :]
+            Fm = Fm + p_eff[..., None, None] * jnp.eye(3, dtype=q.dtype)
+            F = s.set(F, "rhou", Fm)
+            F = s.set(F, "rhoe", rhoe[..., None] * u)
+            if self.tracers.N:
+                chi = s.get(q, "tracers.rhochi")
+                F = s.set(F, "tracers.rhochi",
+                          u[..., :, None] * chi[..., None, :])
+            return F
         # ρu ⊗ u + p' I
         Fm = rhou[..., :, None] * u[..., None, :]
         eye = jnp.eye(3, dtype=q.dtype)

@@ -68,6 +68,10 @@ class DryModel(MoistureModel):
     def _compute(self, model, q, aux):
         ps = model.param_set
         rho = model.prog(q, "rho")
+        if model.physics.energy.is_theta:
+            T, p = model.physics.energy.thermo_dry(
+                ps, rho, model.prog(q, "rhoe"))
+            return T, p, None
         rhou = model.prog(q, "rhou")
         rhoe = model.prog(q, "rhoe")
         Phi = model.aux_get(aux, "orientation.Phi")

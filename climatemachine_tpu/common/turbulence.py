@@ -85,7 +85,12 @@ class TurbulenceClosure:
         spec = model.grad_spec
         out = jnp.zeros(q.shape[:-1] + (spec.num,), dtype=q.dtype)
         out = spec.set(out, "u", u)
-        h_tot = (rhoe + p) / rho
+        if model.physics.energy.is_theta:
+            # theta-energy: diffuse theta itself (reference energy.jl
+            # compute_gradient_argument! thetaModel branch)
+            h_tot = rhoe / rho
+        else:
+            h_tot = (rhoe + p) / rho
         out = spec.set(out, "h_tot", h_tot)
         if self.needs_theta_v:
             out = spec.set(out, "theta_v", self._theta_v(model, q, aux))
@@ -142,8 +147,13 @@ class TurbulenceClosure:
         n = model.prog_spec.num
         F = jnp.zeros(q.shape[:-1] + (3, n), dtype=q.dtype)
         F = model.prog_spec.set(F, "rhou", rho[..., None, None] * tau)
-        Fe = (jnp.einsum("...ij,...j->...i", tau, rhou)
-              - (rho * 1.0)[..., None] * D_t * d_h_tot)
+        if model.physics.energy.is_theta:
+            # theta diffusion only, no viscous heating (reference
+            # tendencies_energy.jl theta Diffusion)
+            Fe = -rho[..., None] * D_t * d_h_tot
+        else:
+            Fe = (jnp.einsum("...ij,...j->...i", tau, rhou)
+                  - (rho * 1.0)[..., None] * D_t * d_h_tot)
         F = model.prog_spec.set(F, "rhoe", Fe)
         return F
 

@@ -367,25 +367,140 @@ def equiangular_cubed_sphere_warp(x1, x2, x3):
     return out[..., 0], out[..., 1], out[..., 2]
 
 
-def cubed_shell_topology(n_horz: int, radius: float = 1.0) -> Topology:
+def equidistant_cubed_sphere_warp(x1, x2, x3):
+    """Equidistant gnomonic projection (reference Topologies.jl:1374
+    ``cubed_sphere_warp(EquidistantCubedSphere(), ...)``): like the
+    equiangular warp but with the identity in place of tan(pi/4 xi) —
+    uniform spacing along the cube face instead of in central angle."""
+    x1, x2, x3 = np.asarray(x1), np.asarray(x2), np.asarray(x3)
+    R = np.maximum(np.maximum(np.abs(x1), np.abs(x2)), np.abs(x3))
+    safe_R = np.where(R == 0, 1, R)
+    den = np.sqrt(x1 ** 2 + x2 ** 2 + x3 ** 2) / safe_R
+    den = np.where(den == 0, 1, den)
+    return x1 / den, x2 / den, x3 / den
+
+
+# Taylor coefficients of the Rancic et al. (1996, QJRMS 122, Appendix B)
+# conformal cube→sphere mapping (public constants, as used by the
+# reference via the CubedSphere.jl package; also in MITgcm).
+_RANCIC_A = np.array([
+    +1.47713062600964, -0.38183510510174, -0.05573058001191,
+    -0.00895883606818, -0.00791315785221, -0.00486625437708,
+    -0.00329251751279, -0.00235481488325, -0.00175870527475,
+    -0.00135681133278, -0.00107459847699, -0.00086944475948,
+    -0.00071607115121, -0.00059867100093, -0.00050699063239,
+    -0.00043415191279, -0.00037541003286, -0.00032741060100,
+    -0.00028773091482, -0.00025458777519, -0.00022664642371,
+    -0.00020289261022, -0.00018254510830, -0.00016499474461,
+    -0.00014976117168, -0.00013646173946, -0.00012478875823,
+    -0.00011449267279, -0.00010536946150, -0.00009725109376,
+])
+
+
+def _conformal_face_map(x, y):
+    """Rancic conformal map of one cube face [-1,1]^2 to the unit-sphere
+    cap centered on +z (reference: ``conformal_cubed_sphere_mapping`` of
+    CubedSphere.jl, consumed at Topologies.jl:1435).  Exactly conformal:
+    the induced metric satisfies g_xy=0, g_xx=g_yy."""
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    xa, ya = np.abs(x), np.abs(y)
+    kxy = ya > xa
+    xc, yc = 1.0 - xa, 1.0 - ya
+    xc, yc = np.where(kxy, yc, xc), np.where(kxy, xc, yc)
+
+    Z = ((xc + 1j * yc) / 2.0) ** 4
+    # W = sum_k A_k Z^k  (Horner on Z)
+    W = np.zeros_like(Z)
+    for a in _RANCIC_A[::-1]:
+        W = (W + a) * Z
+
+    ra = np.sqrt(3.0) - 1.0
+    cb = -1.0 + 1j
+    cc = ra * cb / 2.0
+    im3 = np.exp(1j * np.pi / 6.0)          # principal cube root of i
+    W = im3 * (W * 1j) ** (1.0 / 3.0)
+    W = (W - ra) / (cb + cc * W)
+
+    Xs, Ys = W.real, W.imag
+    H = 2.0 / (1.0 + Xs ** 2 + Ys ** 2)
+    X, Y, Zo = Xs * H, Ys * H, H - 1.0
+    X, Y = np.where(kxy, Y, X), np.where(kxy, X, Y)
+    Y = np.where(y < 0, -Y, Y)
+    X = np.where(x < 0, -X, X)
+    X = np.where(x == 0, 0.0, X)            # fix series truncation
+    Y = np.where(y == 0, 0.0, Y)
+    return X, Y, Zo
+
+
+def conformal_cubed_sphere_warp(x1, x2, x3):
+    """Conformal cubed-sphere warp (reference Topologies.jl:1435
+    ``cubed_sphere_warp(ConformalCubedSphere(), ...)``): per-point
+    dominant axis selects the cube face, the Rancic map projects it to
+    the +z spherical cap, and a fixed rotation carries it back."""
+    x1, x2, x3 = np.asarray(x1, float), np.asarray(x2, float), \
+        np.asarray(x3, float)
+    a1, a2, a3 = np.abs(x1), np.abs(x2), np.abs(x3)
+    R = np.maximum(np.maximum(a1, a2), a3)
+    M = np.where(R == 0, 1.0, R)
+
+    # Julia argmax tie-break: first max wins (axis 1 > axis 2 > axis 3)
+    dom1 = (a1 >= a2) & (a1 >= a3)
+    dom2 = (~dom1) & (a2 >= a3)
+    dom3 = ~(dom1 | dom2)
+
+    out = np.zeros(x1.shape + (3,))
+
+    def fill(mask, u, v, rot):
+        X, Y, Z = _conformal_face_map(u, v)
+        p = np.stack([X, Y, Z], axis=-1) @ np.asarray(rot, float).T
+        for k in range(3):
+            out[..., k] = np.where(mask, p[..., k], out[..., k])
+
+    I3 = np.eye(3)
+    rx = lambda t: np.array([[1, 0, 0],
+                             [0, np.cos(t), -np.sin(t)],
+                             [0, np.sin(t), np.cos(t)]])
+    ry = lambda t: np.array([[np.cos(t), 0, np.sin(t)],
+                             [0, 1, 0],
+                             [-np.sin(t), 0, np.cos(t)]])
+
+    fill(dom1 & (x1 < 0), -x2 / M, x3 / M, rx(np.pi / 2) @ ry(-np.pi / 2))
+    fill(dom1 & (x1 >= 0), x2 / M, x3 / M, rx(np.pi / 2) @ ry(np.pi / 2))
+    fill(dom2 & (x2 < 0), x1 / M, x3 / M, rx(np.pi / 2))
+    fill(dom2 & (x2 >= 0), x1 / M, -x3 / M, rx(-np.pi / 2))
+    fill(dom3 & (x3 >= 0), x1 / M, x2 / M, I3)
+    fill(dom3 & (x3 < 0), x1 / M, -x2 / M, rx(np.pi))
+    out *= R[..., None]
+    return out[..., 0], out[..., 1], out[..., 2]
+
+
+_WARPS = {
+    "equiangular": equiangular_cubed_sphere_warp,
+    "equidistant": equidistant_cubed_sphere_warp,
+    "conformal": conformal_cubed_sphere_warp,
+}
+
+
+def cubed_shell_topology(n_horz: int, radius: float = 1.0,
+                         warp: str = "equiangular") -> Topology:
     """2-D shell of 6*n^2 quad elements on the sphere surface
     (reference CubedShellTopology, Topologies.jl:327)."""
     elem_to_vertex, elem_to_coord3 = cubed_shell_vertices(n_horz)
     nb, nbf, orient, bctag = connect_from_vertices(2, elem_to_vertex)
     assert (bctag == 0).all(), "cubed shell must be closed"
 
-    def warp(x1, x2, x3):
-        return equiangular_cubed_sphere_warp(x1, x2, x3)
+    warp_fn = _WARPS[warp] if isinstance(warp, str) else warp
 
     # 2-D topology but with 3-D corner coords: dim refers to reference dims
     topo = Topology(2, elem_to_vertex.shape[0],
                     radius * elem_to_coord3, nb, nbf, orient, bctag,
-                    meshwarp=warp)
+                    meshwarp=warp_fn)
     return topo
 
 
 def stacked_cubed_sphere_topology(n_horz: int, vert_range: np.ndarray,
-                                  boundary=(1, 2)) -> Topology:
+                                  boundary=(1, 2),
+                                  warp: str = "equiangular") -> Topology:
     """3-D stacked cubed sphere: shell x radial stack (reference
     StackedCubedSphereTopology, Topologies.jl:361).
 
@@ -435,11 +550,10 @@ def stacked_cubed_sphere_topology(n_horz: int, vert_range: np.ndarray,
             else:
                 neighbor[e, 5], neighbor_face[e, 5] = e + 1, 4
 
-    def warp(x1, x2, x3):
-        return equiangular_cubed_sphere_warp(x1, x2, x3)
+    warp_fn = _WARPS[warp] if isinstance(warp, str) else warp
 
     return Topology(3, E, elem_to_coord, neighbor, neighbor_face, orient,
-                    bctag, meshwarp=warp,
+                    bctag, meshwarp=warp_fn,
                     stack=StackInfo(n_horz=Eh, n_vert=n_vert),
                     vert_range=vert_range)
 

@@ -262,3 +262,55 @@ def test_rain_snow_model():
     assert float(jnp.max(q_sno)) > 0.0   # snow formed in cold air
     assert float(jnp.max(q_sno)) < 0.05
     assert float(jnp.max(jnp.abs(q_rai))) < 0.05
+
+
+def test_theta_model_bubble():
+    """θ-energy formulation (reference energy.jl θModel): rising bubble
+    with prognostic ρθ; both mass and ρθ are conserved to round-off
+    (pure advection — no pressure-work term in the θ equation)."""
+    from climatemachine_tpu.atmos.energy import ThetaModel
+    from climatemachine_tpu.dg.reductions import weightedsum
+    ps = EARTH
+    grid = _grid(nz=4, poly=4)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        energy=ThetaModel())
+
+    def init(m, coords, aux, t):
+        x, z = coords[..., 0], coords[..., 2]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        r = jnp.sqrt((x - 500.0) ** 2 + (z - 300.0) ** 2)
+        thp = 2.0 * jnp.clip(1 - r / 200.0, 0.0, 1.0)
+        theta = 300.0 + thp
+        T = theta * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        return m.prog_spec.pack({"rho": rho, "rhoe": rho * theta},
+                                batch_shape=rho.shape)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    # thermo closed form is consistent: recompute T from (rho, rhotheta)
+    T, p, _ = model.recover_thermo(q0, aux)
+    pref = model.aux_get(aux, "ref_state.p")
+    assert float(jnp.max(jnp.abs(p - pref) / pref)) < 5e-3
+
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(150):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    w = model.prog(q, "rhou")[..., 2] / model.prog(q, "rho")
+    assert float(jnp.max(w)) > 0.05          # bubble rising
+    for sl_name in ["rho", "rhoe"]:
+        sl = model.prog_spec.index(sl_name).start
+        m0 = float(weightedsum(grid, q0, sl))
+        m1 = float(weightedsum(grid, q, sl))
+        assert abs(m1 - m0) / abs(m0) < 1e-12, sl_name
