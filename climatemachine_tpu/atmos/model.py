@@ -52,6 +52,8 @@ class AtmosPhysics:
     energy: Optional[object] = None          # TotalEnergyModel (default)
                                              # or ThetaModel (rhoe slot
                                              # holds rho*theta_li)
+    compressibility: Optional[object] = None  # Compressible (default) or
+                                              # Anelastic1D
 
 
 @dataclass(frozen=True)
@@ -73,18 +75,27 @@ class AtmosModel(BalanceLaw):
         from climatemachine_tpu.atmos.moisture import DryModel
         from climatemachine_tpu.atmos.tracers import NoTracers
 
+        from climatemachine_tpu.atmos.compressibility import Compressible
         from climatemachine_tpu.atmos.energy import TotalEnergyModel
         updates = {}
         if physics.moisture is None:
             updates["moisture"] = DryModel()
         if physics.energy is None:
             updates["energy"] = TotalEnergyModel()
+        if physics.compressibility is None:
+            updates["compressibility"] = Compressible()
         if updates:
             physics = AtmosPhysics(**{**physics.__dict__, **updates})
         if physics.energy.is_theta:
             assert physics.moisture is None or \
                 isinstance(physics.moisture, DryModel), \
                 "ThetaModel energy is dry-only in this build"
+        if physics.compressibility.is_anelastic:
+            assert not physics.energy.is_theta, \
+                "Anelastic1D requires TotalEnergyModel"
+            assert isinstance(physics.ref_state, HydrostaticState), \
+                "Anelastic1D needs a hydrostatic reference state " \
+                "(reference thermo_states_anelastic.jl uses aux.ref_state)"
         self.physics = physics
         self.problem = problem
         self.sources = tuple(sources)
@@ -268,7 +279,19 @@ class AtmosModel(BalanceLaw):
         return aux
 
     def init_state_prognostic(self, coords, aux, t):
-        return self.problem.init_state(self, coords, aux, t)
+        q = self.problem.init_state(self, coords, aux, t)
+        if self.physics.compressibility.is_anelastic:
+            # state density is the reference density for all time
+            # (reference AtmosModel.jl:307-312)
+            q = self.prog_spec.set(q, "rho",
+                                   self.aux_get(aux, "ref_state.rho"))
+        return q
+
+    def _vertical_unit(self, aux):
+        """k-hat from the cached geopotential gradient."""
+        gPhi = self.aux_get(aux, "orientation.grad_Phi")
+        return self.physics.orientation.vertical_unit_vector(self.param_set,
+                                                             gPhi)
 
     # --- first-order --------------------------------------------------------
     def flux_first_order(self, q, aux, t):
@@ -300,12 +323,24 @@ class AtmosModel(BalanceLaw):
                 F = s.set(F, "tracers.rhochi",
                           u[..., :, None] * chi[..., None, :])
             return F
-        # ρu ⊗ u + p' I
-        Fm = rhou[..., :, None] * u[..., None, :]
-        eye = jnp.eye(3, dtype=q.dtype)
-        Fm = Fm + p_eff[..., None, None] * eye
-        F = s.set(F, "rhou", Fm)
-        F = s.set(F, "rhoe", (rhoe + p)[..., None] * u)
+        if self.physics.compressibility.is_anelastic:
+            # Anelastic1D: no mass flux, momentum advects without the
+            # pressure-gradient term, vertical momentum flux removed
+            # (reference atmos_tendencies.jl:16,:28; projections.jl:8-17)
+            F = s.set(F, "rho", jnp.zeros_like(rhou))
+            Fm = rhou[..., :, None] * u[..., None, :]
+            khat = self._vertical_unit(aux)
+            Fm = Fm - jnp.einsum("...dc,...c->...d", Fm,
+                                 khat)[..., :, None] * khat[..., None, :]
+            F = s.set(F, "rhou", Fm)
+            F = s.set(F, "rhoe", (rhoe + p)[..., None] * u)
+        else:
+            # ρu ⊗ u + p' I
+            Fm = rhou[..., :, None] * u[..., None, :]
+            eye = jnp.eye(3, dtype=q.dtype)
+            Fm = Fm + p_eff[..., None, None] * eye
+            F = s.set(F, "rhou", Fm)
+            F = s.set(F, "rhoe", (rhoe + p)[..., None] * u)
         # advected moisture / tracer scalars (reference
         # tendencies_moisture.jl:9, tendencies_tracers.jl Advect)
         if self.physics.moisture.vars_prognostic().num:
@@ -331,6 +366,10 @@ class AtmosModel(BalanceLaw):
     def wavespeed(self, nrm, q, aux, t):
         T, p, u, pp = self.thermo_full(q, aux)
         un = jnp.abs(jnp.sum(u * nrm, axis=-1))
+        if self.physics.compressibility.is_anelastic:
+            # no acoustic modes (reference AtmosModel.jl:806
+            # soundspeed_air(ts, ::Anelastic1D) = 0)
+            return un
         return un + td.soundspeed_air(self.param_set, T, pp)
 
     # --- auxiliary update ---------------------------------------------------
@@ -394,6 +433,15 @@ class AtmosModel(BalanceLaw):
                                                           aux, nu, F)
         if self.physics.hyperdiffusion is not None and hyper is not None:
             F = self.physics.hyperdiffusion.flux(self, q, hyper, aux, F)
+        if self.physics.compressibility.is_anelastic:
+            # projection applies to every flux order (reference
+            # projections.jl:9-17 TendencyDef{Flux{O}} where {O})
+            s = self.prog_spec
+            khat = self._vertical_unit(aux)
+            Fm = s.get(F, "rhou")
+            Fm = Fm - jnp.einsum("...dc,...c->...d", Fm,
+                                 khat)[..., :, None] * khat[..., None, :]
+            F = s.set(F, "rhou", Fm)
         return F
 
     # --- sources ------------------------------------------------------------
@@ -408,6 +456,15 @@ class AtmosModel(BalanceLaw):
                 sl = self.prog_spec.index(name)
                 out = out.at[..., sl].add(
                     val if val.ndim == out[..., sl].ndim else val[..., None])
+        if self.physics.compressibility.is_anelastic:
+            # remove vertical momentum sources and any mass source
+            # (reference projections.jl:20-22)
+            s = self.prog_spec
+            khat = self._vertical_unit(aux)
+            Sm = s.get(out, "rhou")
+            Sm = Sm - jnp.sum(Sm * khat, axis=-1, keepdims=True) * khat
+            out = s.set(out, "rhou", Sm)
+            out = s.set(out, "rho", jnp.zeros_like(s.get(out, "rho")))
         return out
 
     # --- boundary conditions ------------------------------------------------

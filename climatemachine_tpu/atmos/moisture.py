@@ -77,6 +77,10 @@ class DryModel(MoistureModel):
         Phi = model.aux_get(aux, "orientation.Phi")
         e_int = td.internal_energy_from_state(rho, rhoe, rhou, Phi)
         T = td.air_temperature(ps, e_int)
+        if model.physics.compressibility.is_anelastic:
+            # PhaseDry_pe: thermodynamic state from (p_ref, e_int)
+            # (reference thermo_states_anelastic.jl:46-57)
+            return T, model.aux_get(aux, "ref_state.p"), None
         return T, td.air_pressure(ps, T, rho), None
 
     def thermo(self, model, q, aux):
@@ -113,7 +117,14 @@ class EquilMoist(MoistureModel):
         T = td.saturation_adjustment(ps, e_int, rho, q_tot,
                                      n_iter=self.maxiter)
         pp = td.phase_partition_equil(ps, T, rho, q_tot)
-        p = td.air_pressure(ps, T, rho, pp)
+        # Anelastic1D: thermodynamic pressure is the reference pressure
+        # (reference thermo_states_anelastic.jl:59-78 PhaseEquil_peq; the
+        # adjustment itself runs at rho = rho_ref, a documented
+        # approximation of the fixed-p solve)
+        if model.physics.compressibility.is_anelastic:
+            p = model.aux_get(aux, "ref_state.p")
+        else:
+            p = td.air_pressure(ps, T, rho, pp)
         theta_v = td.virtual_temperature(ps, T, pp) * \
             (ps.MSLP / p) ** ps.kappa_d
         s = model.aux_spec
@@ -129,6 +140,8 @@ class EquilMoist(MoistureModel):
         q_tot = model.prog(q, "moisture.rhoq_tot") / rho
         T = model.aux_get(aux, "moisture.temperature")
         pp = td.phase_partition_equil(ps, T, rho, q_tot)
+        if model.physics.compressibility.is_anelastic:
+            return T, model.aux_get(aux, "ref_state.p"), pp
         return T, td.air_pressure(ps, T, rho, pp), pp
 
     def gradient_argument(self, model, q, aux, t, out):

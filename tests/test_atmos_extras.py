@@ -314,3 +314,72 @@ def test_theta_model_bubble():
         m0 = float(weightedsum(grid, q0, sl))
         m1 = float(weightedsum(grid, q, sl))
         assert abs(m1 - m0) / abs(m0) < 1e-12, sl_name
+
+
+def test_anelastic1d():
+    """Anelastic1D compressibility (reference AtmosModel.jl:322,
+    projections.jl, thermo_states_anelastic.jl): density pinned to the
+    reference profile, no vertical momentum tendencies, reference-pressure
+    thermodynamics, and no acoustic CFL restriction (dt >> explicit
+    acoustic limit stays stable)."""
+    from climatemachine_tpu.atmos.compressibility import Anelastic1D
+    ps = EARTH
+    grid = _grid(nz=4, poly=4)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(1.0),
+        compressibility=Anelastic1D())
+
+    def init(m, coords, aux, t):
+        x = coords[..., 0]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d \
+            + 0.5 * jnp.sin(2 * np.pi * x / 1000.0)
+        rho = jnp.ones_like(p)      # overwritten with rho_ref by the model
+        u = 2.0 * jnp.cos(2 * np.pi * x / 1000.0)
+        q = m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi
+                            + 0.5 * u ** 2)},
+            batch_shape=rho.shape)
+        return m.prog_spec.set(
+            q, "rhou", jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+
+    # rho slot was forced to the reference profile
+    rho_ref = model.aux_get(aux, "ref_state.rho")
+    np.testing.assert_allclose(np.asarray(model.prog(q0, "rho")),
+                               np.asarray(rho_ref), rtol=1e-14)
+    # thermo pressure is the reference pressure
+    _, p, _ = model.recover_thermo(q0, aux)
+    np.testing.assert_allclose(np.asarray(p),
+                               np.asarray(model.aux_get(aux, "ref_state.p")),
+                               rtol=1e-14)
+
+    # dt set by the ADVECTIVE speed only (2 m/s), ~100x the acoustic limit
+    dt = 0.2 * min_node_distance(grid) / 4.0
+    assert dt > 10 * min_node_distance(grid) / 350.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(60):
+        q, aux = step(q, aux, t)
+        t += dt
+    assert bool(jnp.all(jnp.isfinite(q)))
+    # density exactly constant in time; vertical momentum never develops
+    np.testing.assert_allclose(np.asarray(model.prog(q, "rho")),
+                               np.asarray(rho_ref), rtol=1e-13)
+    w = model.prog(q, "rhou")[..., 2]
+    assert float(jnp.max(jnp.abs(w))) < 1e-10
+    # horizontal kinetic energy decays under viscosity
+    ke0 = float(jnp.sum(model.prog(q0, "rhou")[..., 0] ** 2))
+    ke1 = float(jnp.sum(model.prog(q, "rhou")[..., 0] ** 2))
+    assert ke1 < ke0
