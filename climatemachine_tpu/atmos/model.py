@@ -54,6 +54,7 @@ class AtmosPhysics:
                                              # holds rho*theta_li)
     compressibility: Optional[object] = None  # Compressible (default) or
                                               # Anelastic1D
+    lsforcing: Optional[object] = None       # HadGEMVertical or None
 
 
 @dataclass(frozen=True)
@@ -132,6 +133,12 @@ class AtmosModel(BalanceLaw):
         hyper = physics.hyperdiffusion
         if hyper is not None and hyper.vars_aux().num:
             aux_fields["hyperdiffusion"] = hyper.vars_aux()
+        if physics.lsforcing is not None and \
+                physics.lsforcing.vars_aux().num:
+            assert physics.turbulence is not None, \
+                "lsforcing needs the gradient chain (pair with a " \
+                "turbulence closure, as the reference AMIP configs do)"
+            aux_fields["lsforcing"] = physics.lsforcing.vars_aux()
         self.aux_spec = VarSpec(**aux_fields)
 
         self.gradlap_spec = (hyper.vars_gradient_laplacian()
@@ -155,6 +162,11 @@ class AtmosModel(BalanceLaw):
             if physics.sgstke is not None:
                 gfields["sgstke"] = physics.sgstke.vars_gradient()
                 gffields["sgstke"] = physics.sgstke.vars_gradient_flux()
+            if physics.lsforcing is not None and \
+                    physics.lsforcing.vars_gradient().num:
+                gfields["lsforcing"] = physics.lsforcing.vars_gradient()
+                gffields["lsforcing"] = \
+                    physics.lsforcing.vars_gradient_flux()
             self.grad_spec = VarSpec(**gfields)
             self.gf_spec = VarSpec(**gffields)
         else:
@@ -276,6 +288,8 @@ class AtmosModel(BalanceLaw):
             aux = self.physics.turbulence.init_aux(self, geom, aux)
         if self.physics.hyperdiffusion is not None:
             aux = self.physics.hyperdiffusion.init_aux(self, geom, aux)
+        if self.physics.lsforcing is not None:
+            aux = self.physics.lsforcing.init_aux(self, Phi / ps.grav, aux)
         return aux
 
     def init_state_prognostic(self, coords, aux, t):
@@ -389,6 +403,9 @@ class AtmosModel(BalanceLaw):
         if self.physics.sgstke is not None:
             out = self.physics.sgstke.gradient_argument(self, q, aux, t,
                                                         out)
+        if self.physics.lsforcing is not None:
+            out = self.physics.lsforcing.gradient_argument(self, q, aux,
+                                                           t, out)
         return out
 
     def compute_gradient_flux(self, grad_g, q, aux, t):
@@ -402,6 +419,9 @@ class AtmosModel(BalanceLaw):
         if self.physics.sgstke is not None:
             out = self.physics.sgstke.gradient_flux(self, grad_g, q, aux,
                                                     t, out)
+        if self.physics.lsforcing is not None:
+            out = self.physics.lsforcing.gradient_flux(self, grad_g, q,
+                                                       aux, t, out)
         return out
 
     def compute_gradient_laplacian_argument(self, q, aux, t):

@@ -383,3 +383,78 @@ def test_anelastic1d():
     ke0 = float(jnp.sum(model.prog(q0, "rhou")[..., 0] ** 2))
     ke1 = float(jnp.sum(model.prog(q, "rhou")[..., 0] ** 2))
     assert ke1 < ke0
+
+
+def test_hadgem_lsforcing():
+    """HadGEMVertical large-scale forcing (reference lsforcing.jl + cfsite
+    AMIP sources): aux profiles are filled; LargeScaleProcess heats at
+    rho*cvm*(Sigma_temp + w_s dT/dz); LinearSponge relaxes winds to the
+    GCM profile aloft."""
+    from climatemachine_tpu.atmos.lsforcing import (HadGEMVertical,
+                                                    LargeScaleProcess,
+                                                    LargeScaleSubsidence,
+                                                    LinearSponge)
+    ps = EARTH
+    grid = _grid(L=1000.0, nz=4, poly=3)
+    dTdt, wsub = 2e-4, -0.02
+    dTdz = -0.005
+
+    def profile(z):
+        zero = jnp.zeros_like(z)
+        return dict(ta=300.0 + dTdz * z, hus=zero + 0.008,
+                    ua=zero + 3.0, va=zero - 1.0,
+                    temp_tendency=zero + dTdt, qt_tendency=zero + 1e-7,
+                    w_s=zero + wsub)
+
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        moisture=EquilMoist(),
+        lsforcing=HadGEMVertical(profile))
+
+    def init(m, coords, aux, t):
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        return m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi),
+             "moisture.rhoq_tot": rho * 0.0},
+            batch_shape=rho.shape)
+
+    model = AtmosModel(
+        physics,
+        AtmosProblem(init_state=init,
+                     boundary_conditions=(AtmosBC(), AtmosBC())),
+        sources=(Gravity(), LargeScaleProcess(), LargeScaleSubsidence(),
+                 LinearSponge(z_max=1000.0, z_sponge=600.0,
+                              alpha_max=1.0)))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+
+    # aux profiles filled
+    z = model.aux_get(aux, "orientation.Phi") / ps.grav
+    np.testing.assert_allclose(np.asarray(model.aux_get(aux, "lsforcing.ta")),
+                               300.0 + dTdz * np.asarray(z), rtol=1e-12)
+
+    # one RHS: energy tendency in the interior ~ rho*cvm*(dTdt + w_s dT/dz)
+    # (+ small moisture terms); check sign and magnitude at a mid node
+    tend, _ = dg(q0, aux, 0.0)
+    rho = np.asarray(model.prog(q0, "rho"))
+    te = np.asarray(model.prog_spec.get(tend, "rhoe"))
+    expect = rho * (ps.cv_d * (dTdt + wsub * dTdz) + ps.e_int_v0 * 1e-7)
+    mid = np.asarray(z) > 100.0
+    ratio = te[mid] / expect[mid]
+    assert 0.8 < np.median(ratio) < 1.2
+
+    # sponge: uniform initial wind relaxes toward (ua, va) aloft
+    q1 = model.prog_spec.set(
+        q0, "rhou", jnp.stack([rho * 0.0, rho * 0.0, rho * 0.0], -1))
+    tend1, _ = dg(q1, aux, 0.0)
+    tm = np.asarray(model.prog_spec.get(tend1, "rhou"))
+    hi = np.asarray(z) > 900.0
+    lo = np.asarray(z) < 200.0
+    assert (tm[hi][:, 0] > 1e-3).all()      # pushed toward ua=+3
+    assert (tm[hi][:, 1] < -1e-4).all()     # toward va=-1
+    assert np.abs(tm[lo][:, :2]).max() < 1e-3 * np.abs(tm[hi][:, :2]).max() + 1e-12
