@@ -101,3 +101,98 @@ def test_hb_gyre_runs_stably():
     cols = ColumnOps(grid)
     wb = cols.to_stack(w[..., None])[:, 0, 0]
     assert float(jnp.max(jnp.abs(wb))) < 1e-10
+
+
+def test_ivdc_implicit_convective_adjustment():
+    """IVDC implicit vertical diffusion/convection (reference
+    SplitExplicit01/IVDCModel.jl): backward-Euler solve L(theta)=theta_n/dt
+    converges (residual check), conserves heat content, and mixes an
+    unstable column with dt far beyond the explicit kappa_c limit."""
+    from climatemachine_tpu.ocean.ivdc import ivdc_solve, ivdc_coefficients
+    H, L = 100.0, 1000.0
+    problem = OceanGyre(L, L, H)
+    model = HydrostaticBoussinesqModel(problem, kappa_z=1e-4, kappa_c=1.0)
+    grid = ocean_box_grid(problem, 2, 2, 5, 3, dtype=np.float64)
+    dg = DGModel(model, grid)
+    q, aux = init_ode_state(dg)
+
+    # unstable stratification: warm at bottom (dtheta/dz < 0)
+    z = grid.coords[..., 2]           # in [-H, 0]
+    theta0 = 10.0 - 2.0 * (z / H)     # increases downward -> unstable
+    q = model.prog_spec.set(q, "theta", theta0)
+
+    kap = ivdc_coefficients(model, dg, q, aux)
+    assert float(jnp.median(kap)) == 1.0      # convective everywhere
+
+    # dt >> explicit limit dz^2/kappa_c
+    dz = float(min_node_distance(grid, direction="vertical"))
+    dt = 200.0 * dz * dz / 1.0
+    q1 = ivdc_solve(model, dg, q, aux, dt)
+    th1 = model.prog(q1, "theta")
+
+    # heat content conserved (insulating, conservative operator)
+    M = grid.M
+    h0 = float(jnp.sum(M * theta0))
+    h1 = float(jnp.sum(M * th1))
+    assert abs(h1 - h0) / abs(h0) < 1e-8
+    # variance strongly reduced (column mixes toward uniform)
+    v0 = float(jnp.sum(M * (theta0 - h0 / float(jnp.sum(M))) ** 2))
+    v1 = float(jnp.sum(M * (th1 - h1 / float(jnp.sum(M))) ** 2))
+    assert v1 < 0.2 * v0
+    assert bool(jnp.all(jnp.isfinite(th1)))
+
+    # stable profile with tiny dt: theta nearly unchanged
+    theta_s = 10.0 + 2.0 * (z / H)
+    qs = model.prog_spec.set(q, "theta", theta_s)
+    kap_s = ivdc_coefficients(model, dg, qs, aux)
+    assert float(jnp.median(kap_s)) == 0.5 * 1e-4
+    q2 = ivdc_solve(model, dg, qs, aux, 1.0)
+    assert float(jnp.max(jnp.abs(model.prog(q2, "theta") - theta_s))) < 1e-5
+
+
+def test_super_model_geostrophic_adjustment():
+    """HydrostaticBoussinesqSuperModel one-call API (reference
+    SuperModels.jl + tutorials/Ocean/geostrophic_adjustment.jl): build
+    from a RectangularDomain + InitialConditions, run, observe gravity
+    waves radiating from a half-balanced Gaussian bump while volume
+    (integral of eta) is conserved."""
+    from climatemachine_tpu.ocean.super_model import (
+        HydrostaticBoussinesqSuperModel, InitialConditions,
+        RectangularDomain)
+    Lx = 1e6
+    f, g = 1e-4, 9.81
+    U, Lg = 0.1, Lx / 40
+    a = f * U * Lg / g
+    x0 = Lx / 4
+
+    gauss = lambda x: jnp.exp(-x ** 2 / (2 * Lg ** 2))
+    vg = lambda x, y, z: -U * (x - x0) / Lg * gauss(x - x0)
+    etai = lambda x, y, z: 2 * a * gauss(x - x0)
+
+    domain = RectangularDomain(Ne=(20, 1, 1), Np=4, x=(0, Lx), y=(0, Lx),
+                               z=(-400.0, 0.0),
+                               periodicity=(False, True, False))
+    model = HydrostaticBoussinesqSuperModel(
+        domain, time_step=100.0,
+        initial_conditions=InitialConditions(v=vg, eta=etai),
+        coriolis=dict(f_0=f, beta=0.0),
+        turbulence_closure=dict(nu_h=1e3, nu_z=1e-2, kappa_h=1e3,
+                                kappa_z=1e-4),
+        rusanov_wave_speeds=dict(c_h=float(np.sqrt(g * 400.0)), c_z=1e-3))
+
+    eta0 = np.asarray(model.fields["eta"])
+    M = np.asarray(model.grid.M)
+    vol0 = float((M * eta0).sum())
+
+    model.solve(until=3600.0)        # 1 hour: waves start radiating
+    assert model.step_count == 36
+    eta1 = np.asarray(model.fields["eta"])
+    assert np.isfinite(eta1).all()
+    vol1 = float((M * eta1).sum())
+    assert abs(vol1 - vol0) <= 1e-10 * abs(M.sum() * a) + 1e-12
+    # bump amplitude decreased as the unbalanced part radiates
+    assert eta1.max() < 0.95 * eta0.max()
+    # ... and the disturbance propagated beyond the initial bump region
+    x = np.asarray(model.grid.coords[..., 0])
+    far = np.abs(x - x0) > 4 * Lg
+    assert np.abs(eta1[far]).max() > 10 * np.abs(eta0[far]).max()
