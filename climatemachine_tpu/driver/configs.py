@@ -110,3 +110,35 @@ def SingleStackConfiguration(name: str, polyorder, nelem_vert: int,
     return DriverConfiguration(SingleStackConfigType(), name, polyorder,
                                grid, model,
                                config_info=dict(zmax=zmax))
+
+
+def MultiColumnLandModelConfiguration(
+        name: str, polyorder, resolution: Tuple,
+        xmax: float, ymax: float, zmax: float, model,
+        zmin: float = 0.0, periodicity=(False, False, False),
+        boundary=((3, 4), (5, 6), (1, 2)),
+        dtype=None) -> DriverConfiguration:
+    """Multi-column land configuration (reference driver_configs.jl:659
+    MultiColumnLandModel): a stacked brick [0,xmax]x[0,ymax]x[zmin,zmax]
+    with per-face boundary tags and element size Delta*N, defaulting to
+    central numerical fluxes (land physics is diffusion-dominated)."""
+    dx, dy, dz = resolution
+    if isinstance(polyorder, int):
+        N_h = N_v = polyorder
+    else:
+        N_h, N_v = polyorder
+    nex = max(int(round(xmax / (dx * max(N_h, 1)))), 1)
+    ney = max(int(round(ymax / (dy * max(N_h, 1)))), 1)
+    nez = max(int(round((zmax - zmin) / (dz * max(N_v, 1)))), 1)
+    ranges = [np.linspace(0.0, xmax, nex + 1),
+              np.linspace(0.0, ymax, ney + 1),
+              np.linspace(zmin, zmax, nez + 1)]
+    topology = topo_mod.stacked_brick_topology(
+        ranges, periodicity=periodicity, boundary=np.asarray(boundary))
+    grid = make_grid(topology, polyorder, dtype=dtype)
+    from climatemachine_tpu.dg.numerical_fluxes import (
+        CentralNumericalFluxFirstOrder)
+    return DriverConfiguration(
+        MultiColumnLandConfigType(), name, polyorder, grid, model,
+        numerical_flux_first_order=CentralNumericalFluxFirstOrder(),
+        config_info=dict(resolution=resolution))

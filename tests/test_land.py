@@ -119,3 +119,40 @@ def test_richards_infiltration_bounded():
     z = grid.coords[..., 2]
     top_mask = z > 0.4
     assert float(jnp.max(jnp.where(top_mask, v, 0.0))) > v0 + 0.05
+
+
+def test_multicolumn_land_configuration():
+    """MultiColumnLandModel driver config (reference driver_configs.jl:659):
+    multi-column soil heat diffusion matches the single-stack analytic
+    decay in every column."""
+    from climatemachine_tpu.driver.configs import (
+        MultiColumnLandModelConfiguration, MultiColumnLandConfigType)
+    params = SoilParams()
+    soil = SoilModel(params=params, water=None,
+                     heat=SoilHeatModel(
+                         initial_T=lambda c, t:
+                         288.0 + jnp.cos(np.pi * c[..., 2])))
+    model = LandModel(soil,
+                      boundary_conditions=tuple(LandBC() for _ in range(6)))
+    cfg = MultiColumnLandModelConfiguration(
+        "mcland", 4, (0.5, 0.5, 0.2), 1.0, 1.0, 1.0, model,
+        dtype=np.float64)
+    assert isinstance(cfg.config_type, MultiColumnLandConfigType)
+    grid = cfg.grid
+    assert grid.n_vert is not None          # stacked (columns on-device)
+
+    dg = DGModel(model, grid,
+                 numerical_flux_first_order=cfg.numerical_flux_first_order)
+    q0, aux = init_ode_state(dg)
+    D = params.kappa_soil / params.rho_c_soil
+    dt, nsteps = 4.0, 100
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(nsteps):
+        q, aux = step(q, aux, t)
+        t += dt
+    z = np.asarray(grid.coords[..., 2])
+    T = np.asarray(model.temperature(q))
+    expect = 288.0 + np.exp(-D * np.pi ** 2 * t) * np.cos(np.pi * z)
+    np.testing.assert_allclose(T, expect, atol=2e-3)
