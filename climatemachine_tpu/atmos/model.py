@@ -55,6 +55,7 @@ class AtmosPhysics:
     compressibility: Optional[object] = None  # Compressible (default) or
                                               # Anelastic1D
     lsforcing: Optional[object] = None       # HadGEMVertical or None
+    turbconv: Optional[object] = None        # EDMF or None
 
 
 @dataclass(frozen=True)
@@ -117,6 +118,15 @@ class AtmosModel(BalanceLaw):
             assert physics.turbulence is not None, \
                 "SGStkeModel needs a turbulence closure"
             prog_fields["sgstke"] = physics.sgstke.vars_prognostic()
+        if physics.turbconv is not None:
+            assert physics.turbulence is not None, \
+                "EDMF needs the gradient chain (pair with a turbulence " \
+                "closure, e.g. ConstantKinematicViscosity(0.0) as the " \
+                "reference EDMF configs do)"
+            from climatemachine_tpu.atmos.moisture import EquilMoist
+            tc_moist = isinstance(physics.moisture, EquilMoist)
+            prog_fields["turbconv"] = \
+                physics.turbconv.vars_prognostic(tc_moist)
         self.prog_spec = VarSpec(**prog_fields)
 
         aux_fields = dict(coord=3,
@@ -139,6 +149,8 @@ class AtmosModel(BalanceLaw):
                 "lsforcing needs the gradient chain (pair with a " \
                 "turbulence closure, as the reference AMIP configs do)"
             aux_fields["lsforcing"] = physics.lsforcing.vars_aux()
+        if physics.turbconv is not None:
+            aux_fields["turbconv"] = physics.turbconv.vars_aux()
         self.aux_spec = VarSpec(**aux_fields)
 
         self.gradlap_spec = (hyper.vars_gradient_laplacian()
@@ -167,6 +179,11 @@ class AtmosModel(BalanceLaw):
                 gfields["lsforcing"] = physics.lsforcing.vars_gradient()
                 gffields["lsforcing"] = \
                     physics.lsforcing.vars_gradient_flux()
+            if physics.turbconv is not None:
+                gfields["turbconv"] = \
+                    physics.turbconv.vars_gradient(tc_moist)
+                gffields["turbconv"] = \
+                    physics.turbconv.vars_gradient_flux(tc_moist)
             self.grad_spec = VarSpec(**gfields)
             self.gf_spec = VarSpec(**gffields)
         else:
@@ -294,6 +311,8 @@ class AtmosModel(BalanceLaw):
 
     def init_state_prognostic(self, coords, aux, t):
         q = self.problem.init_state(self, coords, aux, t)
+        if self.physics.turbconv is not None:
+            q = self.physics.turbconv.init_state(self, q, aux)
         if self.physics.compressibility.is_anelastic:
             # state density is the reference density for all time
             # (reference AtmosModel.jl:307-312)
@@ -375,6 +394,8 @@ class AtmosModel(BalanceLaw):
                                                             F, u)
         if self.physics.sgstke is not None:
             F = self.physics.sgstke.flux_first_order(self, q, aux, F, u)
+        if self.physics.turbconv is not None:
+            F = self.physics.turbconv.flux_first_order(self, q, aux, F, u)
         return F
 
     def wavespeed(self, nrm, q, aux, t):
@@ -390,7 +411,10 @@ class AtmosModel(BalanceLaw):
     def nodal_update_auxiliary_state(self, q, aux, t):
         """Thermo cache refresh (reference update_auxiliary_state!
         AtmosModel.jl:859-877 nodal thermo/moisture update)."""
-        return self.physics.moisture.update_aux(self, q, aux, t)
+        aux = self.physics.moisture.update_aux(self, q, aux, t)
+        if self.physics.turbconv is not None:
+            aux = self.physics.turbconv.update_aux(self, q, aux, t)
+        return aux
 
     # --- second-order (turbulence + moisture + tracers) ---------------------
     def compute_gradient_argument(self, q, aux, t):
@@ -406,6 +430,9 @@ class AtmosModel(BalanceLaw):
         if self.physics.lsforcing is not None:
             out = self.physics.lsforcing.gradient_argument(self, q, aux,
                                                            t, out)
+        if self.physics.turbconv is not None:
+            out = self.physics.turbconv.gradient_argument(self, q, aux, t,
+                                                          out)
         return out
 
     def compute_gradient_flux(self, grad_g, q, aux, t):
@@ -422,6 +449,9 @@ class AtmosModel(BalanceLaw):
         if self.physics.lsforcing is not None:
             out = self.physics.lsforcing.gradient_flux(self, grad_g, q,
                                                        aux, t, out)
+        if self.physics.turbconv is not None:
+            out = self.physics.turbconv.gradient_flux(self, grad_g, q,
+                                                      aux, t, out)
         return out
 
     def compute_gradient_laplacian_argument(self, q, aux, t):
@@ -453,6 +483,9 @@ class AtmosModel(BalanceLaw):
                                                           aux, nu, F)
         if self.physics.hyperdiffusion is not None and hyper is not None:
             F = self.physics.hyperdiffusion.flux(self, q, hyper, aux, F)
+        if self.physics.turbconv is not None and gf is not None:
+            F = self.physics.turbconv.flux_second_order(self, q, gf, aux,
+                                                        F)
         if self.physics.compressibility.is_anelastic:
             # projection applies to every flux order (reference
             # projections.jl:9-17 TendencyDef{Flux{O}} where {O})
@@ -471,6 +504,8 @@ class AtmosModel(BalanceLaw):
             sl = self.prog_spec.index("sgstke.rhoe_SGS")
             out = out.at[..., sl.start].add(
                 self.physics.sgstke.source(self, q, gf, aux, t))
+        if self.physics.turbconv is not None:
+            out = out + self.physics.turbconv.source(self, q, gf, aux, t)
         for src in self.sources:
             for name, val in src.contributions(self, q, gf, aux, t).items():
                 sl = self.prog_spec.index(name)
@@ -493,7 +528,12 @@ class AtmosModel(BalanceLaw):
 
     def boundary_state(self, tag, nrm, q_minus, aux_minus, t):
         bc = self.problem.boundary_conditions[tag - 1]
-        return bc.ghost_state(self, nrm, q_minus, aux_minus, t)
+        qP, auxP = bc.ghost_state(self, nrm, q_minus, aux_minus, t)
+        if self.physics.turbconv is not None:
+            qP = self.physics.turbconv.boundary_state(self, tag, nrm,
+                                                      q_minus, aux_minus,
+                                                      qP, t)
+        return qP, auxP
 
     def boundary_flux_second_order(self, tag, nrm, qM, gfM, auxM, t):
         """Surface diffusive fluxes at walls (reference bc_momentum.jl

@@ -238,3 +238,67 @@ def saturation_adjustment(ps: PlanetParameterSet, e_int, rho, q_tot,
         # keep the Newton step inside the bisection bracket
         T = jnp.clip(Tn, lo, hi)
     return jnp.where(unsaturated, T_vap, T)
+
+
+def virtual_pottemp(ps: PlanetParameterSet, T, p,
+                    q: Optional[PhasePartition] = None):
+    """θ_v = (R_m/R_d) θ (reference Thermodynamics.jl virtual_pottemp)."""
+    return gas_constant_air(ps, q) / ps.R_d * dry_pottemp(ps, T, p, q)
+
+
+def relative_humidity(ps: PlanetParameterSet, T, p,
+                      q: Optional[PhasePartition] = None):
+    """RH = p_vap / p_vap_sat (reference Thermodynamics.jl
+    relative_humidity); dry air returns 0."""
+    if q is None:
+        return jnp.zeros_like(T)
+    q_vap = q.tot - q.liq - q.ice
+    eps_vi = ps.R_v / ps.R_d
+    p_vap = q_vap * p / (q_vap + (1.0 / eps_vi) * (1 - q.tot))
+    lam = liquid_fraction(ps, T)
+    pvs = (lam * saturation_vapor_pressure_liquid(ps, T)
+           + (1 - lam) * saturation_vapor_pressure_ice(ps, T))
+    return jnp.clip(p_vap / pvs, 0.0, 1.0)
+
+
+def total_specific_enthalpy(ps: PlanetParameterSet, e_tot, T,
+                            q: Optional[PhasePartition] = None):
+    """h_tot = e_tot + R_m T (reference total_specific_enthalpy)."""
+    return e_tot + gas_constant_air(ps, q) * T
+
+
+def temperature_from_theta_liq(ps: PlanetParameterSet, p, theta_liq,
+                               q_tot=None, n_iter: int = 5):
+    """T from (p, θ_liq-ice[, q_tot]) — the PhaseDry_pθ / PhaseEquil_pθq
+    constructors of Thermodynamics.jl (used by the EDMF subdomain thermo
+    states).  Dry: closed form T = θ Π.  Moist: fixed-point on T with the
+    equilibrium phase partition at ρ = p/(R_m T)."""
+    if q_tot is None:
+        return theta_liq * exner(ps, p)
+
+    def theta_liq_of(T):
+        pp = PhasePartition.vapor(q_tot)
+        rho = p / (gas_constant_air(ps, pp) * T)
+        pp = phase_partition_equil(ps, T, rho, q_tot)
+        return liquid_ice_pottemp(ps, T, p, pp)
+
+    # θ_liq(T) is monotone increasing at fixed (p, q_tot): bisect
+    # (a plain fixed point 2-cycles across the saturation boundary).
+    # lax.fori_loop keeps the traced graph small — this runs inside the
+    # per-node EDMF subdomain recovery, so an unrolled loop would blow
+    # up compile time.
+    import jax
+    theta_liq = jnp.asarray(theta_liq)
+    lo0 = jnp.broadcast_to(jnp.asarray(ps.T_min, theta_liq.dtype),
+                           theta_liq.shape)
+    hi0 = jnp.broadcast_to(jnp.asarray(ps.T_max, theta_liq.dtype),
+                           theta_liq.shape)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        below = theta_liq_of(mid) < theta_liq
+        return (jnp.where(below, mid, lo), jnp.where(below, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, 30, body, (lo0, hi0))
+    return 0.5 * (lo + hi)

@@ -1,0 +1,188 @@
+"""EDMF turbulence-convection tests (reference test/Atmos/EDMF/:
+stable_bl_edmf.jl config, closure unit behavior)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics, Gravity,
+                                      HydrostaticState)
+from climatemachine_tpu.atmos.boundaryconditions import AtmosBC
+from climatemachine_tpu.atmos.edmf import (EDMF, Coupled,
+                                           NeutralDrySurfaceModel,
+                                           SurfaceModel,
+                                           lamb_smooth_minimum,
+                                           percentile_bounds_mean_norm)
+from climatemachine_tpu.atmos.model import AtmosProblem
+from climatemachine_tpu.atmos.moisture import EquilMoist
+from climatemachine_tpu.common.turbulence import ConstantKinematicViscosity
+from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+from climatemachine_tpu.mesh.filters import tmar
+from climatemachine_tpu.mesh.grid import make_grid, min_node_distance
+from climatemachine_tpu.mesh.topology import single_stack_topology
+from climatemachine_tpu.ode.lsrk import LSRK144NiegemannDiehlBusch
+from climatemachine_tpu.physics import thermodynamics as td
+from climatemachine_tpu.physics.parameters import EARTH
+from climatemachine_tpu.physics.temperature_profiles import (
+    DryAdiabaticProfile)
+
+
+def test_lamb_smooth_minimum():
+    """Properties of the regularized smooth minimum (Lopez-Gomez et al.
+    2020 Appendix A): close to and bounded below by min, within the
+    fractional upper bound for well-separated inputs."""
+    l = jnp.asarray([[100.0, 40.0, 500.0], [5.0, 5.0, 5.0]])
+    s = lamb_smooth_minimum(l, 0.1, 1.5)
+    assert s.shape == (2,)
+    assert float(s[0]) >= 40.0
+    assert float(s[0]) <= 40.0 * 1.1 + 1e-6
+    assert abs(float(s[1]) - 5.0) < 1e-10
+
+
+def test_percentile_bounds_mean_norm():
+    """Analytic truncated-normal mean matches a Monte-Carlo estimate
+    (the reference samples 1000 gaussians)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2_000_000)
+    from scipy.special import ndtri
+    lo, hi = 0.9, 0.95
+    a, b = ndtri(lo), ndtri(hi)
+    mc = x[(x > a) & (x < b)].mean()
+    assert abs(percentile_bounds_mean_norm(lo, hi) - mc) < 5e-3
+
+
+def test_theta_liq_inversion():
+    """PhaseEquil_pθq-equivalent: (p, θ_li, q_tot) → T roundtrip."""
+    ps = EARTH
+    T0, p = jnp.asarray(285.0), jnp.asarray(9e4)
+    for q_tot in (0.012, 0.004):     # saturated / unsaturated
+        q_tot = jnp.asarray(q_tot)
+        rho = p / (td.gas_constant_air(
+            ps, td.PhasePartition.vapor(q_tot)) * T0)
+        pp = td.phase_partition_equil(ps, T0, rho, q_tot)
+        th = td.liquid_ice_pottemp(ps, T0, p, pp)
+        T1 = td.temperature_from_theta_liq(ps, p, th, q_tot)
+        assert abs(float(T1 - T0)) < 1e-5
+
+
+def _sbl_setup(edmf, zmax=400.0, nz=15, poly=4, moist=False):
+    ps = EARTH
+    topo = single_stack_topology(20.0, 20.0, np.linspace(0, zmax, nz + 1))
+    grid = make_grid(topo, poly, dtype=np.float64)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(265.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        moisture=EquilMoist() if moist else None,
+        turbconv=edmf)
+
+    def init(m, coords, aux, t):
+        z = coords[..., 2]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        theta = 265.0 + 0.01 * jnp.maximum(z - 100.0, 0.0)
+        T = theta * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        u = jnp.full_like(rho, 8.0)
+        fields = {"rho": rho,
+                  "rhoe": rho * (td.internal_energy(ps, T) + Phi
+                                 + 0.5 * 64.0)}
+        if moist:
+            fields["moisture.rhoq_tot"] = rho * 1e-3
+        q = m.prog_spec.pack(fields, batch_shape=rho.shape)
+        return m.prog_spec.set(
+            q, "rhou", jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    return model, dg, grid, q0, aux
+
+
+def _run(model, dg, grid, q0, aux, nsteps):
+    dt = 0.4 * float(min_node_distance(grid)) / 340.0
+    solver = LSRK144NiegemannDiehlBusch(lambda a, b, t: dg(a, b, t), dt)
+    fnames = model.prog_spec.flattened_names()
+    tc_slots = [i for i, n in enumerate(fnames)
+                if n.startswith("turbconv.") and "rhoaw" not in n]
+
+    def step(q, aux, t):
+        q, aux = solver.step(q, aux, t)
+        return tmar(grid, q, fields=tc_slots), aux
+
+    jstep = jax.jit(step)
+    q, t = q0, 0.0
+    for _ in range(nsteps):
+        q, aux = jstep(q, aux, t)
+        t += dt
+    return q, aux, t
+
+
+def test_sbl_edmf_decoupled():
+    """Stable-boundary-layer single stack (reference stable_bl_edmf.jl):
+    surface BC injects updraft area and ustar-scaled TKE; the run stays
+    finite and positive, updrafts remain surface-confined over a short
+    integration, grid mean untouched by the (decoupled) scheme."""
+    edmf = EDMF(N_up=1, surface=NeutralDrySurfaceModel())
+    model, dg, grid, q0, aux = _sbl_setup(edmf)
+    q, aux, t = _run(model, dg, grid, q0, aux, 400)
+    assert bool(jnp.all(jnp.isfinite(q)))
+
+    z = np.asarray(grid.coords[..., 2])
+    s = model.prog_spec
+    rhoa = np.asarray(s.get(q, "turbconv.up_rhoa"))[..., 0]
+    tke = np.asarray(s.get(q, "turbconv.en_rhoatke"))
+    # updraft area injected at the surface (ghost a=0.1 → wall value
+    # (0+0.1)/2 scale), none aloft
+    assert rhoa[z < 40].mean() > 5e-3
+    assert abs(rhoa[z > 200]).max() < 1e-10
+    assert rhoa.min() >= 0.0                    # TMAR positivity
+    assert tke.min() >= 0.0
+    # TKE elevated near the surface: ustar^2*kappa_star^2 = 0.3375 vs
+    # initial profile; mixed upward
+    assert tke[z < 40].mean() > tke[z > 300].mean()
+
+    # aux caches the subdomain temperatures
+    T_en = np.asarray(model.aux_get(aux, "turbconv.en_T"))
+    assert (T_en > 250).all() and (T_en < 280).all()
+
+
+def test_sbl_edmf_coupled():
+    """Coupled EDMF feeds SGS fluxes back to the grid mean (reference
+    SGSFlux tendencies): runs finite; the second-order grid-mean flux
+    differs from the decoupled one."""
+    edmf_c = EDMF(N_up=1, surface=NeutralDrySurfaceModel(),
+                  coupling=Coupled())
+    model, dg, grid, q0, aux = _sbl_setup(edmf_c)
+    q, aux2, _ = _run(model, dg, grid, q0, aux, 150)
+    assert bool(jnp.all(jnp.isfinite(q)))
+
+    # SGS fluxes present: coupled vs decoupled F2 differ in the rhoe slot
+    grad_g = dg.spatial_gradient(q, aux2, 0.0)
+    gf = model.compute_gradient_flux(grad_g, q, aux2, 0.0)
+    F_c = model.flux_second_order(q, gf, None, aux2, 0.0)
+    edmf_d = EDMF(N_up=1, surface=NeutralDrySurfaceModel())
+    model.physics = model.physics.__class__(
+        **{**model.physics.__dict__, "turbconv": edmf_d})
+    F_d = model.flux_second_order(q, gf, None, aux2, 0.0)
+    sl = model.prog_spec.index("rhoe")
+    diff = float(jnp.max(jnp.abs(F_c[..., sl] - F_d[..., sl])))
+    assert diff > 1e-12
+
+
+def test_bomex_moist_edmf_rhs():
+    """Moist EDMF (BOMEX-style surface model): full state with q_tot
+    blocks builds and one RHS evaluation is finite."""
+    edmf = EDMF(N_up=2, surface=SurfaceModel(obukhov_length=-100.0))
+    model, dg, grid, q0, aux = _sbl_setup(edmf, moist=True)
+    names = model.prog_spec.flattened_names()
+    assert any("up_rhoaq_tot" in n for n in names)
+    assert any("en_rhoatheta_liq_q_tot_cv" in n for n in names)
+    tend, _ = dg(q0, aux, 0.0)
+    assert bool(jnp.all(jnp.isfinite(tend)))
+    # short run stays finite
+    q, aux, _ = _run(model, dg, grid, q0, aux, 60)
+    assert bool(jnp.all(jnp.isfinite(q)))
