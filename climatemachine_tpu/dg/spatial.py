@@ -210,7 +210,8 @@ class DGModel:
                  direction: str = EVERY,
                  diffusion_direction: Optional[str] = None,
                  update_aux: bool = True,
-                 exchange=None):
+                 exchange=None,
+                 remainder=None):
         self.balance_law = balance_law
         self.grid = grid
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
@@ -223,6 +224,13 @@ class DGModel:
         # maps the flat [E*Np, n] node array to an extended array whose tail
         # holds remote face nodes; grid.vmapP of a sharded grid points there.
         self.exchange = exchange
+        # Fused remainder (reference remainder.jl RemBL / remainder_DGModel):
+        # (linear_bl, linear_direction) — this RHS evaluates full − linear
+        # in ONE volume contraction + ONE face pass instead of two DG
+        # evaluations (the linear flux/numerical-flux/source are subtracted
+        # in the linear model's direction slots only).  Exactly equal to
+        # the two-call difference, at roughly half the memory traffic.
+        self.remainder = remainder
 
         bl = balance_law
         self.n_prognostic = bl.num_state(st.Prognostic())
@@ -457,6 +465,14 @@ class DGModel:
             F = F + bl.flux_second_order(q, gf, hyper, aux, t)
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
         F_xi = contract_flux_metric(g, F, dims)
+        if self.remainder is not None:
+            lin, ldir = self.remainder
+            ldims = direction_dims(ldir, g.dim)
+            F_lin = lin.flux_first_order(q, aux, t)
+            F_xi_lin = contract_flux_metric(g, F_lin, ldims)
+            for i, a in enumerate(ldims):
+                pos = dims.index(a)
+                F_xi = F_xi.at[..., pos, :].add(-F_xi_lin[..., i, :])
         tendency = g.MI[..., None] * weak_divergence_sel(g, F_xi, dims)
 
         # interface: - M^{-1} L (sM F*)
@@ -480,6 +496,18 @@ class DGModel:
 
         qP, auxP = self._boundary_plus(ghost, faces, nrm, qM, auxM, qP, auxP, t)
         fstar = self.nf1(bl, nrm, qM, auxM, qP, auxP, t)
+        if self.remainder is not None:
+            # subtract the linear numerical flux on the linear model's
+            # faces (same gathered face states — no second exchange)
+            lin, ldir = self.remainder
+            lfaces = direction_faces(ldir, g.dim)
+            pos = [faces.index(f) for f in lfaces]
+            assert pos == list(range(pos[0], pos[0] + len(pos))), \
+                "linear faces must be contiguous in the active face set"
+            sl = slice(pos[0], pos[0] + len(pos))
+            fstar_lin = self.nf1(lin, nrm[:, sl], qM[:, sl], auxM[:, sl],
+                                 qP[:, sl], auxP[:, sl], t)
+            fstar = fstar.at[:, sl].add(-fstar_lin)
 
         if gf is not None or hyper is not None:
             gfM = gfP = None
@@ -523,7 +551,26 @@ class DGModel:
 
         # source
         tendency = tendency + bl.source(q, gf, aux, t)
+        if self.remainder is not None:
+            tendency = tendency - self.remainder[0].source(q, gf, aux, t)
         return tendency, aux
+
+
+def remainder_DGModel(dg_full, dg_lin):
+    """Fused full − linear DG RHS (reference remainder.jl:37 RemBL +
+    remainder_DGModel): one DGModel whose volume/interface/source pass
+    subtracts the linear subcomponent in its own direction — exactly the
+    two-call difference ``dg_full(q) − dg_lin(q)`` with half the face
+    traffic."""
+    return DGModel(dg_full.balance_law, dg_full.grid,
+                   numerical_flux_first_order=dg_full.nf1,
+                   numerical_flux_gradient=dg_full.nfg,
+                   numerical_flux_second_order=dg_full.nf2,
+                   direction=dg_full.direction,
+                   diffusion_direction=dg_full.diffusion_direction,
+                   update_aux=dg_full.update_aux,
+                   exchange=dg_full.exchange,
+                   remainder=(dg_lin.balance_law, dg_lin.direction))
 
 
 # --- state creation / initialization ----------------------------------------

@@ -11,7 +11,8 @@ from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from climatemachine_tpu.atmos.linear import AtmosAcousticGravityLinearModel
-from climatemachine_tpu.dg.spatial import DGModel, VERTICAL
+from climatemachine_tpu.dg.spatial import (DGModel, VERTICAL,
+                                            remainder_DGModel)
 from climatemachine_tpu.ode import ark as ark_mod
 from climatemachine_tpu.ode.lsrk import (LSRK54CarpenterKennedy,
                                          LSRK144NiegemannDiehlBusch)
@@ -49,10 +50,12 @@ class IMEXSolverType:
         col_solver = ManyColumnSolver(
             lambda x: dg_lin(x, aux0, 0.0)[0], layout, q0)
 
+        dg_rem = remainder_DGModel(dg, dg_lin)
+
         def rhs_ex(q, aux, t):
-            tend_full, aux = dg(q, aux, t)
-            tend_lin, _ = dg_lin(q, aux, t)
-            return tend_full - tend_lin, aux
+            # fused full − linear (reference remainder_DGModel; one
+            # volume + face pass instead of two)
+            return dg_rem(q, aux, t)
 
         def rhs_im(q, aux, t):
             tend, _ = dg_lin(q, aux, t)

@@ -93,3 +93,25 @@ def test_imex_stable_at_large_dt():
     assert bool(jnp.all(jnp.isfinite(q)))
     u = cfg.model.prog(q, "rhou") / cfg.model.prog(q, "rho")[..., None]
     assert float(jnp.max(jnp.abs(u))) < 100.0
+
+
+def test_remainder_dgmodel_exact():
+    """Fused remainder RHS (reference remainder.jl RemBL) equals the
+    two-call difference full(q) - linear_vertical(q) to round-off."""
+    from climatemachine_tpu.atmos.linear import (
+        AtmosAcousticGravityLinearModel)
+    from climatemachine_tpu.dg.spatial import (DGModel, VERTICAL,
+                                               remainder_DGModel)
+    cfg, dg, q0, aux0 = _setup(n_horz=3, n_vert=3, poly=4)
+    lin = AtmosAcousticGravityLinearModel(cfg.model)
+    dg_lin = DGModel(lin, cfg.grid, numerical_flux_first_order=dg.nf1,
+                     direction=VERTICAL, update_aux=False)
+    dg_rem = remainder_DGModel(dg, dg_lin)
+
+    t_full, aux1 = dg(q0, aux0, 0.0)
+    t_lin, _ = dg_lin(q0, aux1, 0.0)
+    t_rem, _ = dg_rem(q0, aux0, 0.0)
+    ref = t_full - t_lin
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    err = float(jnp.max(jnp.abs(t_rem - ref)))
+    assert err < 1e-10 * scale
