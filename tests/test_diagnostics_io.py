@@ -138,3 +138,70 @@ def test_state_check_refvals():
     assert sc.do_check(ns["refvals"], 1e-12)
     bad = {k: dict(v, mean=v["mean"] + 1.0) for k, v in ns["refvals"].items()}
     assert not sc.do_check(bad, 1e-12)
+
+
+def test_vorticity_diagnostic():
+    """DG vorticity (reference diagnostic_fields.jl Vorticity): a shear
+    flow u = (sin(2πy/L), 0, 0) on a periodic box has ω_z = -2π/L
+    cos(2πy/L); the GCM default group includes 'vort'."""
+    import jax.numpy as jnp
+    from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics,
+                                          HydrostaticState)
+    from climatemachine_tpu.atmos.model import AtmosProblem
+    from climatemachine_tpu.atmos.boundaryconditions import AtmosBC
+    from climatemachine_tpu.diagnostics.fields import (atmos_gcm_default_vars,
+                                                       vorticity)
+    from climatemachine_tpu.diagnostics.machine import DiagnosticsGroup
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.mesh.grid import make_grid
+    from climatemachine_tpu.mesh.topology import stacked_brick_topology
+    from climatemachine_tpu.physics.temperature_profiles import (
+        DryAdiabaticProfile)
+    from climatemachine_tpu.physics.parameters import EARTH
+    from climatemachine_tpu.physics import thermodynamics as td
+
+    ps = EARTH
+    L = 1000.0
+    r = [np.linspace(0, L, 5)] * 2 + [np.linspace(0, L, 3)]
+    topo = stacked_brick_topology(r, periodicity=(True, True, False),
+                                  boundary=np.array([[0, 0], [0, 0],
+                                                     [1, 2]]))
+    grid = make_grid(topo, 4, dtype=np.float64)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)))
+
+    def init(m, coords, aux, t):
+        y = coords[..., 1]
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        u = jnp.sin(2 * np.pi * y / L)
+        q = m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi
+                            + 0.5 * u ** 2)},
+            batch_shape=rho.shape)
+        return m.prog_spec.set(q, "rhou",
+                               jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(),
+                                                         AtmosBC())))
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+
+    u = model.prog(q0, "rhou") / model.prog(q0, "rho")[..., None]
+    w = np.asarray(vorticity(dg, u))
+    y = np.asarray(grid.coords[..., 1])
+    expect = -2 * np.pi / L * np.cos(2 * np.pi * y / L)
+    np.testing.assert_allclose(w[..., 2], expect, atol=5e-4)
+    assert np.abs(w[..., 0]).max() < 1e-8
+    assert np.abs(w[..., 1]).max() < 1e-8
+
+    group = DiagnosticsGroup("gcm_default", model, grid,
+                             atmos_gcm_default_vars(model, dg))
+    vals = group.collect(q0, aux)
+    assert "vort" in vals and "temp" in vals
+    np.testing.assert_allclose(vals["vort"], expect, atol=5e-4)
