@@ -97,6 +97,32 @@ class PrescribedTemperature(EnergyBC):
         return rho * (e_int + ke + Phi)
 
 
+# --- moisture ---------------------------------------------------------------
+
+class MoistureBC:
+    pass
+
+
+class Impermeable(MoistureBC):
+    """No moisture wall flux (reference bc_moisture.jl Impermeable)."""
+
+
+@dataclass(frozen=True)
+class PrescribedMoistureFlux(MoistureBC):
+    """Net inward moisture flux fn(model, q, aux, t) [kg/m^2/s]
+    (reference bc_moisture.jl PrescribedMoistureFlux)."""
+    fn: object
+
+
+@dataclass(frozen=True)
+class BulkFormulaMoisture(MoistureBC):
+    """Bulk aerodynamic moisture flux C_q rho |u_t| (q_sfc - q_int)
+    (reference bc_moisture.jl BulkFormulaMoisture); q_tot_sfc may be a
+    callable of t."""
+    C_q: float = 1e-3
+    q_tot_sfc: object = 0.0
+
+
 # --- composed ---------------------------------------------------------------
 
 @dataclass(frozen=True)
@@ -104,6 +130,7 @@ class AtmosBC:
     """Per-equation BC bundle (reference boundaryconditions.jl AtmosBC)."""
     momentum: MomentumBC = field(default_factory=lambda: Impenetrable(FreeSlip()))
     energy: EnergyBC = field(default_factory=Insulating)
+    moisture: MoistureBC = field(default_factory=Impermeable)
 
     def ghost_state(self, model, nrm, q, aux, t):
         """(q_ghost, aux_ghost) for the first-order numerical flux."""

@@ -560,6 +560,24 @@ class AtmosModel(BalanceLaw):
         if isinstance(drag, abc.DragLaw):
             Fm = (rho * drag.C_drag * speed)[..., None] * u_t
             out = s.set(out, "rhou", Fm)
+        mo = getattr(bc, "moisture", None)
+        if self.physics.moisture.vars_prognostic().num and mo is not None \
+                and not isinstance(mo, abc.Impermeable):
+            # moisture wall flux also carries mass and momentum
+            # (reference bc_moisture.jl:48-52, :93-96)
+            if isinstance(mo, abc.PrescribedMoistureFlux):
+                f_in = mo.fn(self, qM, auxM, t)
+            else:
+                q_sfc = mo.q_tot_sfc(t) if callable(mo.q_tot_sfc) \
+                    else mo.q_tot_sfc
+                q_int = self.prog(qM, "moisture.rhoq_tot") / rho
+                f_in = mo.C_q * rho * speed * (q_sfc - q_int)
+            out = s.set(out, "moisture.rhoq_tot",
+                        s.get(out, "moisture.rhoq_tot") - f_in)
+            out = s.set(out, "rho", s.get(out, "rho") - f_in)
+            out = s.set(out, "rhou",
+                        s.get(out, "rhou")
+                        - f_in[..., None] * u)
         en = bc.energy
         if isinstance(en, abc.BulkFormulaEnergy):
             ps = self.param_set

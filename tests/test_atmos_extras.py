@@ -458,3 +458,59 @@ def test_hadgem_lsforcing():
     assert (tm[hi][:, 0] > 1e-3).all()      # pushed toward ua=+3
     assert (tm[hi][:, 1] < -1e-4).all()     # toward va=-1
     assert np.abs(tm[lo][:, :2]).max() < 1e-3 * np.abs(tm[hi][:, :2]).max() + 1e-12
+
+
+def test_bulk_formula_moisture_bc():
+    """BulkFormulaMoisture surface BC (reference bc_moisture.jl): a moist
+    surface (q_sfc > q_int) under wind moistens the domain; total water
+    gained matches the bulk flux sign; mass flux accompanies it."""
+    from climatemachine_tpu.atmos.boundaryconditions import (
+        BulkFormulaMoisture, FreeSlip, Impenetrable)
+    ps = EARTH
+    grid = _grid(nz=3, poly=3)
+    physics = AtmosPhysics(
+        ref_state=HydrostaticState(DryAdiabaticProfile(300.0, 110.0)),
+        turbulence=ConstantKinematicViscosity(0.0),
+        moisture=EquilMoist())
+
+    def init(m, coords, aux, t):
+        p = m.aux_spec.get(aux, "ref_state.p")
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        T = 300.0 * (p / ps.MSLP) ** ps.kappa_d
+        rho = p / (ps.R_d * T)
+        u = jnp.full_like(rho, 5.0)
+        q = m.prog_spec.pack(
+            {"rho": rho,
+             "rhoe": rho * (td.internal_energy(ps, T) + Phi + 0.5 * 25.0),
+             "moisture.rhoq_tot": rho * 1e-3},
+            batch_shape=rho.shape)
+        return m.prog_spec.set(
+            q, "rhou", jnp.stack([rho * u, 0 * u, 0 * u], axis=-1))
+
+    bcs = (AtmosBC(momentum=Impenetrable(FreeSlip()),
+                   moisture=BulkFormulaMoisture(C_q=1e-2, q_tot_sfc=0.01)),
+           AtmosBC())
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=bcs),
+                       sources=())
+    dg = DGModel(model, grid)
+    q0, aux = init_ode_state(dg)
+    sl = model.prog_spec.index("moisture.rhoq_tot").start
+    w0 = float(weightedsum(grid, q0, sl))
+    m0 = float(weightedsum(grid, q0, 0))
+    dt = 0.3 * min_node_distance(grid) / 360.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    q, t = q0, 0.0
+    for _ in range(50):
+        q, aux = step(q, aux, t)
+        t += dt
+    w1 = float(weightedsum(grid, q, sl))
+    m1 = float(weightedsum(grid, q, 0))
+    assert bool(jnp.all(jnp.isfinite(q)))
+    assert w1 > w0          # evaporation moistens the column
+    assert m1 > m0          # total-water mass flux enters continuity
+    # magnitude sanity: flux ~ C_q rho |u| dq * area * t
+    expect = 1e-2 * 1.1 * 5.0 * 9e-3 * 1000.0 * 1000.0 * t
+    assert 0.2 * expect < (w1 - w0) < 3.0 * expect
