@@ -119,6 +119,13 @@ def connect_from_vertices(dim: int, elem_to_vertex: np.ndarray,
     fc = _FACE_CORNERS_3D if dim == 3 else _FACE_CORNERS_2D
     nface = 2 * dim
 
+    # native C++ fast path (climatemachine_tpu.native; same semantics,
+    # hashing-bound setup work ~50x faster for production meshes)
+    from climatemachine_tpu import native as _native
+    res = _native.connect_faces_native(dim, elem_to_vertex, default_bctags)
+    if res is not None:
+        return res
+
     face_key = {}
     neighbor = np.arange(nelem)[:, None].repeat(nface, axis=1)
     neighbor_face = np.tile(np.arange(nface), (nelem, 1))
