@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused dry-Euler DG volume tendency.
+
+Scope of reference ``DGModel_kernels.jl volume_tendency!`` (:64): the
+dominant-FLOPs kernel computing M⁻¹ Σ_a D_aᵀ (M ξ_a,ᵢ F_i(q)) with the
+flux staged in shared memory.  The XLA path (dg/spatial.py) materializes
+the physical flux F [E, Np, 3, n] in HBM and pays layout-conversion
+copies around the weak-divergence matmul (measured 46% of Held-Suarez
+step time in pure data formatting); this kernel keeps F and every
+intermediate in VMEM:
+
+- grid over element blocks; per block the packed state is read once,
+- thermodynamics + fluxes evaluated as [TE, Np] vector ops (Np minor —
+  natural (8, 128) tiles),
+- the weak divergence is one [TE, 3·Np] × [3·Np, Np] MXU matmul per
+  variable at float32 precision,
+- only the tendency returns to HBM.
+
+Specialized to the dry compressible AtmosModel hot path (ρ, ρu, ρe;
+TotalEnergy, Compressible, optional reference-pressure subtraction) —
+the generic XLA path remains for every other balance law.  Gravity and
+generic sources stay outside (they are cheap and model-composed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
+            out_ref, *, R_d, cv_d, T_0, subtract_ref):
+    q = q_ref[...]                       # [TE, Np, 5]
+    rho = q[:, :, 0]
+    ru1, ru2, ru3 = q[:, :, 1], q[:, :, 2], q[:, :, 3]
+    rhoe = q[:, :, 4]
+    phi = phi_ref[...]
+    inv_rho = 1.0 / rho
+    u1, u2, u3 = ru1 * inv_rho, ru2 * inv_rho, ru3 * inv_rho
+
+    e_int = (rhoe - 0.5 * (ru1 * u1 + ru2 * u2 + ru3 * u3)) * inv_rho - phi
+    T = T_0 + e_int / cv_d
+    p = rho * R_d * T
+    p_eff = p - pref_ref[...] if subtract_ref else p
+
+    # physical flux F[i][v], i = coordinate direction, v = variable
+    h = rhoe + p
+    F = ((ru1, ru1 * u1 + p_eff, ru2 * u1, ru3 * u1, h * u1),
+         (ru2, ru1 * u2, ru2 * u2 + p_eff, ru3 * u2, h * u2),
+         (ru3, ru1 * u3, ru2 * u3, ru3 * u3 + p_eff, h * u3))
+
+    m = m_ref[...]
+    w = w_ref[...]                       # [Np, 3*Np]
+    mi = mi_ref[...]
+    Np = q.shape[1]
+    for v in range(5):
+        # MF concatenated over the reference-direction axis: [TE, 3*Np]
+        parts = []
+        for a in range(3):
+            acc = xi_ref[:, :, 3 * a] * F[0][v]
+            acc += xi_ref[:, :, 3 * a + 1] * F[1][v]
+            acc += xi_ref[:, :, 3 * a + 2] * F[2][v]
+            parts.append(m * acc)
+        mf = jnp.concatenate(parts, axis=-1)
+        div = jax.lax.dot_general(
+            mf, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)    # [TE, Np]
+        out_ref[:, :, v] = mi * div
+
+
+@functools.partial(jax.jit, static_argnames=("R_d", "cv_d", "T_0",
+                                             "block_e", "subtract_ref",
+                                             "interpret"))
+def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
+                        R_d: float, cv_d: float, T_0: float,
+                        block_e: int = 32, subtract_ref: bool = True,
+                        interpret: bool = False):
+    """Fused volume tendency for the dry-Euler balance law.
+
+    q [E, Np, 5], phi/p_ref/M/MI [E, Np], xi_x [E, Np, 9] (ξ_a,ᵢ at
+    a*3+i), Wdiv [Np, 3*Np].  Returns tendency [E, Np, 5]
+    == MI · weak_divergence(M · ξ·F(q)).
+    """
+    E, Np, n = q.shape
+    assert n == 5
+    assert E % block_e == 0, (E, block_e)
+    grid = (E // block_e,)
+
+    def be(i):
+        return (i, 0, 0)
+
+    def be2(i):
+        return (i, 0)
+
+    kernel = functools.partial(_kernel, R_d=R_d, cv_d=cv_d, T_0=T_0,
+                               subtract_ref=subtract_ref)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_e, Np, 5), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np, 9), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 3 * Np), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_e, Np, 5), be,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Np, 5), q.dtype),
+        interpret=interpret,
+    )(q, phi, p_ref, xi_x, M, MI, Wdiv)
+
+
+def supports(balance_law, grid, direction) -> bool:
+    """True when the fused kernel covers this configuration."""
+    from climatemachine_tpu.atmos.model import AtmosModel
+    from climatemachine_tpu.atmos.moisture import DryModel
+    if not isinstance(balance_law, AtmosModel):
+        return False
+    ph = balance_law.physics
+    return (grid.dim == 3 and direction == "every"
+            and balance_law.prog_spec.num == 5
+            and isinstance(ph.moisture, DryModel)
+            and not ph.energy.is_theta
+            and not ph.compressibility.is_anelastic
+            and grid.Wdiv is not None)
+
+
+def volume_tendency_from_grid(dg, q, aux, interpret: bool = False,
+                              block_e: int = 32):
+    """Adapter: pull the grid/metric fields and model constants out of a
+    DGModel and call the kernel (same contract as the XLA volume path)."""
+    bl, g = dg.balance_law, dg.grid
+    ps = bl.param_set
+    phi = bl.aux_get(aux, "orientation.Phi")
+    subtract = bl.ref_state.subtract_off
+    if subtract:
+        p_ref = bl.aux_get(aux, "ref_state.p")
+    else:
+        p_ref = jnp.zeros_like(phi)
+    E = g.nelem
+    be = block_e
+    while E % be != 0:
+        be //= 2
+    xi = g.xi_x.reshape(E, g.Np, 9)
+    return dry_volume_tendency(q, phi, p_ref, xi, g.M, g.MI, g.Wdiv,
+                               R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
+                               block_e=be, subtract_ref=subtract,
+                               interpret=interpret)

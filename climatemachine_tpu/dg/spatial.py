@@ -211,7 +211,8 @@ class DGModel:
                  diffusion_direction: Optional[str] = None,
                  update_aux: bool = True,
                  exchange=None,
-                 remainder=None):
+                 remainder=None,
+                 volume_kernel: str = "auto"):
         self.balance_law = balance_law
         self.grid = grid
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
@@ -231,6 +232,18 @@ class DGModel:
         # in the linear model's direction slots only).  Exactly equal to
         # the two-call difference, at roughly half the memory traffic.
         self.remainder = remainder
+        # Pallas fused volume kernel (dg/pallas_volume.py): "auto" uses
+        # it for supported dry-Euler configs on TPU; "pallas" forces it
+        # (interpret mode off-TPU, for testing); "xla" disables.
+        self._pallas_volume = False
+        self._pallas_interpret = False
+        if volume_kernel in ("auto", "pallas") and remainder is None:
+            from climatemachine_tpu.dg import pallas_volume as _pv
+            if _pv.supports(balance_law, grid, direction):
+                on_tpu = jax.default_backend() == "tpu"
+                if volume_kernel == "pallas" or on_tpu:
+                    self._pallas_volume = True
+                    self._pallas_interpret = not on_tpu
 
         bl = balance_law
         self.n_prognostic = bl.num_state(st.Prognostic())
@@ -460,11 +473,24 @@ class DGModel:
             hyper = self.hyperdiffusive_state(q, aux, t)
 
         # volume: M^{-1} D^T M F_xi
-        F = bl.flux_first_order(q, aux, t)
-        if gf is not None or hyper is not None:
-            F = F + bl.flux_second_order(q, gf, hyper, aux, t)
+        # Pallas fused kernel covers the FIRST-ORDER part (flux + metric
+        # contraction + weak divergence fully in VMEM); any second-order
+        # flux rides the generic contraction on top.
+        use_pallas = (self._pallas_volume and gf is None
+                      and self.remainder is None)
+        tendency = None
+        if use_pallas:
+            from climatemachine_tpu.dg import pallas_volume as _pv
+            tendency = _pv.volume_tendency_from_grid(
+                self, q, aux, interpret=self._pallas_interpret)
+            F = (bl.flux_second_order(q, gf, hyper, aux, t)
+                 if hyper is not None else None)
+        else:
+            F = bl.flux_first_order(q, aux, t)
+            if gf is not None or hyper is not None:
+                F = F + bl.flux_second_order(q, gf, hyper, aux, t)
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
-        F_xi = contract_flux_metric(g, F, dims)
+        F_xi = contract_flux_metric(g, F, dims) if F is not None else None
         if self.remainder is not None:
             lin, ldir = self.remainder
             ldims = direction_dims(ldir, g.dim)
@@ -473,7 +499,9 @@ class DGModel:
             for i, a in enumerate(ldims):
                 pos = dims.index(a)
                 F_xi = F_xi.at[..., pos, :].add(-F_xi_lin[..., i, :])
-        tendency = g.MI[..., None] * weak_divergence_sel(g, F_xi, dims)
+        if F_xi is not None:
+            wd = g.MI[..., None] * weak_divergence_sel(g, F_xi, dims)
+            tendency = wd if tendency is None else tendency + wd
 
         # interface: - M^{-1} L (sM F*)
         # single fused face exchange: q, aux (and gf/hyper when present)
