@@ -33,10 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
             out_ref, *, R_d, cv_d, T_0, subtract_ref):
-    q = q_ref[...]                       # [TE, Np, 5]
-    rho = q[:, :, 0]
-    ru1, ru2, ru3 = q[:, :, 1], q[:, :, 2], q[:, :, 3]
-    rhoe = q[:, :, 4]
+    # blocks are var-major [TE, nvar, Np]: VMEM tiles pad (nvar->8,
+    # Np->128) instead of the catastrophic trailing-variable padding
+    rho = q_ref[:, 0, :]                 # [TE, Np]
+    ru1, ru2, ru3 = q_ref[:, 1, :], q_ref[:, 2, :], q_ref[:, 3, :]
+    rhoe = q_ref[:, 4, :]
     phi = phi_ref[...]
     inv_rho = 1.0 / rho
     u1, u2, u3 = ru1 * inv_rho, ru2 * inv_rho, ru3 * inv_rho
@@ -55,21 +56,20 @@ def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
     m = m_ref[...]
     w = w_ref[...]                       # [Np, 3*Np]
     mi = mi_ref[...]
-    Np = q.shape[1]
     for v in range(5):
         # MF concatenated over the reference-direction axis: [TE, 3*Np]
         parts = []
         for a in range(3):
-            acc = xi_ref[:, :, 3 * a] * F[0][v]
-            acc += xi_ref[:, :, 3 * a + 1] * F[1][v]
-            acc += xi_ref[:, :, 3 * a + 2] * F[2][v]
+            acc = xi_ref[:, 3 * a, :] * F[0][v]
+            acc += xi_ref[:, 3 * a + 1, :] * F[1][v]
+            acc += xi_ref[:, 3 * a + 2, :] * F[2][v]
             parts.append(m * acc)
         mf = jnp.concatenate(parts, axis=-1)
         div = jax.lax.dot_general(
             mf, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)    # [TE, Np]
-        out_ref[:, :, v] = mi * div
+        out_ref[:, v, :] = mi * div
 
 
 @functools.partial(jax.jit, static_argnames=("R_d", "cv_d", "T_0",
@@ -90,6 +90,10 @@ def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
     assert E % block_e == 0, (E, block_e)
     grid = (E // block_e,)
 
+    # var-major kernel operands (padding nvar->8 instead of ->128)
+    qt = q.transpose(0, 2, 1)            # [E, 5, Np]
+    xit = xi_x.transpose(0, 2, 1)        # [E, 9, Np]
+
     def be(i):
         return (i, 0, 0)
 
@@ -98,24 +102,25 @@ def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
 
     kernel = functools.partial(_kernel, R_d=R_d, cv_d=cv_d, T_0=T_0,
                                subtract_ref=subtract_ref)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_e, Np, 5), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 5, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_e, Np, 9), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 9, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Np, 3 * Np), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_e, Np, 5), be,
+        out_specs=pl.BlockSpec((block_e, 5, Np), be,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, Np, 5), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((E, 5, Np), q.dtype),
         interpret=interpret,
-    )(q, phi, p_ref, xi_x, M, MI, Wdiv)
+    )(qt, phi, p_ref, xit, M, MI, Wdiv)
+    return out.transpose(0, 2, 1)
 
 
 def supports(balance_law, grid, direction) -> bool:
