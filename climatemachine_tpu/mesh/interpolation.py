@@ -108,7 +108,9 @@ def InterpolationBrick(grid, x1g, x2g, x3g) -> _TensorInterpolator:
         elem = idx[0] + nel[0] * (idx[1] + nel[1] * idx[2])
 
     wl = [lagrange_weights(grid.xi[d], xi_loc[d]) for d in range(3)]
-    return _TensorInterpolator(grid, elem, wl, (P1, P2, P3))
+    interp = _TensorInterpolator(grid, elem, wl, (P1, P2, P3))
+    interp.xyz = (np.asarray(x1g), np.asarray(x2g), np.asarray(x3g))
+    return interp
 
 
 def InterpolationCubedSphere(grid, lats_deg, lons_deg, rads
