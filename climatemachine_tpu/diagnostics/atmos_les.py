@@ -260,6 +260,62 @@ class AtmosLESDefaultGroup(_ProfileGroup):
         return out
 
 
+class AtmosLESDefaultPerturbationsGroup(_ProfileGroup):
+    """Reference "AtmosLESDefaultPerturbations"
+    (atmos_les_default_perturbations.jl): pointwise deviations of
+    u v w avg_rho temp pres thd et ei ht hi (+ qt ql qv thv thl with
+    moisture) from their horizontal (Favre) averages, written on an
+    interpolated x-y-z grid."""
+
+    name = "AtmosLESDefaultPerturbations"
+
+    def __init__(self, dg, interpolator, writer=None, out_path=None):
+        self.interpolator = interpolator
+        super().__init__(dg, writer, out_path)
+
+    def _collect_impl(self, q, aux, t):
+        g = self.grid
+        nd = self._nodal(q, aux, t)
+        rho = nd["rho"]
+        M = jnp.asarray(g.M, dtype=rho.dtype)
+        Mrho_z = _lev_sum(g, M * rho)
+
+        def favre(x):
+            return _lev_sum(g, M * rho * x) / Mrho_z
+
+        def per_node(prof):
+            Nq1, Nq2, Nq3 = g.Nq
+            p4 = prof.reshape(g.n_vert, Nq3)[None, :, :, None]
+            return jnp.broadcast_to(
+                p4, (g.n_horz, g.n_vert, Nq3, Nq2 * Nq1)).reshape(rho.shape)
+
+        keys = ["u", "v", "w", "temp", "pres", "thd", "et", "ei", "ht",
+                "hi", "qt", "ql", "qv", "thv", "thl"]
+        out = {"avg_rho_prime":
+               self.interpolator(rho - per_node(_lev_sum(g, M * rho)
+                                                / _lev_sum(g, M)))}
+        for k in keys:
+            if k in nd:
+                out[k + "_prime"] = self.interpolator(
+                    nd[k] - per_node(favre(nd[k])))
+        return out
+
+    def write(self, q, aux, t):
+        vals = self.collect(q, aux, t)
+        if self.writer is None:
+            return vals
+        if not self._initialized:
+            itp = self.interpolator
+            dims = {d: np.asarray(v)
+                    for d, v in zip(("x", "y", "z"), itp.xyz)}
+            self.writer.init_data(self.out_path, dims,
+                                  {k: (tuple(dims.keys()), np.float64)
+                                   for k in vals})
+            self._initialized = True
+        self.writer.append_data(self.out_path, vals, t)
+        return vals
+
+
 class AtmosLESCoreGroup(_ProfileGroup):
     """Reference "AtmosLESCore" group (atmos_les_core.jl): conditional
     (cloud-core: q_liq > 0 and w > 0) horizontal averages.

@@ -186,6 +186,51 @@ class MonitorCourant:
 
 
 @dataclass
+class AdaptTimestep:
+    """Recompute dt from the target Courant number and update the solver
+    in place (reference Callbacks.jl:340 adapt_timestep + updatedt!); the
+    solve loop re-jits the step when it sees the new dt."""
+    solver_config: object
+    every_steps: int = 100
+    # skip updates below this relative change: a new dt re-jits the step
+    # function, so do not recompile for round-off-level CFL drift
+    rtol: float = 1e-3
+
+    def make(self):
+        from climatemachine_tpu.dg.courant import calculate_dt
+
+        sc = self.solver_config
+
+        def fn(state):
+            dtmodel = sc.dg.balance_law
+            if getattr(sc, "ode_solver_type", None) is not None:
+                dtmodel = sc.ode_solver_type.getdtmodel(sc.dg.balance_law)
+            ndt = float(calculate_dt(sc.dg.grid, dtmodel, state.q,
+                                     state.aux, sc.cfl, sc.cfl_direction))
+            if abs(ndt - sc.solver.dt) <= self.rtol * sc.solver.dt:
+                return
+            logger.info("updating time step: %.16g => %.16g",
+                        sc.solver.dt, ndt)
+            sc.solver.dt = ndt
+
+        return EveryXSimulationSteps(fn, self.every_steps)
+
+
+def show_not_finite_fields(spec, arr, label=""):
+    """Log per-field NaN/Inf counts (reference MPIStateArrays.jl:884
+    show_not_finite_fields); returns the offending field names."""
+    bad = []
+    a = np.asarray(arr)
+    for i, nm in enumerate(spec.flattened_names()):
+        n_bad = int((~np.isfinite(a[..., i])).sum())
+        if n_bad:
+            logger.warning("%s: field %s has %d non-finite values",
+                           label, nm, n_bad)
+            bad.append(nm)
+    return bad
+
+
+@dataclass
 class MonitorTimestepDuration:
     """Wall-time per step statistics (reference Callbacks.jl:224:
     device-sync + time_ns deltas, max/min/median/std)."""

@@ -42,6 +42,7 @@ class Settings:
     checkpoint_dir: str = "checkpoint"
     restart_from_num: int = -1
     fix_rng_seed: bool = False
+    debug_init: bool = False
     log_level: str = "INFO"
     output_dir: str = "output"
     integration_testing: bool = False
@@ -197,6 +198,11 @@ def invoke(solver_config, user_callbacks: Sequence = (),
     if parse_interval(SETTINGS.monitor_courant_numbers, dt):
         callbacks.append(cbs.MonitorCourant(
             sc.dg.grid, sc.dg.balance_law, dt).make())
+    parsed_adp = parse_interval(SETTINGS.adapt_timestep, dt)
+    if parsed_adp:
+        n = parsed_adp[1] if parsed_adp[0] == "steps" else max(
+            int(parsed_adp[1] / dt), 1)
+        callbacks.append(cbs.AdaptTimestep(sc, every_steps=n).make())
     if parse_interval(SETTINGS.checkpoint, dt):
         parsed_cp = parse_interval(SETTINGS.checkpoint, dt)
         n = parsed_cp[1] if parsed_cp[0] == "steps" else max(

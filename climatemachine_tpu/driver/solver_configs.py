@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from climatemachine_tpu.dg.courant import calculate_dt, nondiffusive_courant
 from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
 from climatemachine_tpu.driver.configs import DriverConfiguration
+from climatemachine_tpu.driver.driver import SETTINGS
 from climatemachine_tpu.driver.solver_types import (ExplicitSolverType,
                                                     IMEXSolverType)
 
@@ -31,6 +32,9 @@ class SolverConfiguration:
     solver: object
     driver_config: DriverConfiguration
     init_args: dict = field(default_factory=dict)
+    cfl: float = 0.4
+    cfl_direction: str = "every"
+    ode_solver_type: object = None
 
 
 def make_solver_configuration(
@@ -72,7 +76,25 @@ def make_solver_configuration(
     solver_type = ode_solver_type or ExplicitSolverType()
     solver = solver_type.make(dg, q, aux, dt)
 
+    if SETTINGS.debug_init:
+        # dump initial aux + prognostic state and report non-finite
+        # fields (reference Driver.jl:315 debug_init + solver_configs.jl
+        # :175-199; NaN prefill is N/A - states are built functionally)
+        from climatemachine_tpu.driver.callbacks import \
+            show_not_finite_fields
+        from climatemachine_tpu.io.vtk import vtk_dump_state
+        import os
+        prefix = os.path.join(SETTINGS.output_dir, f"{dc.name}_init")
+        os.makedirs(SETTINGS.output_dir, exist_ok=True)
+        vtk_dump_state(prefix, dg, q, aux)
+        show_not_finite_fields(dc.model.prog_spec, q, "init_prognostic")
+        show_not_finite_fields(dc.model.aux_spec, aux, "init_auxiliary")
+
     return SolverConfiguration(name=dc.name, dg=dg, q=q, aux=aux, dt=dt,
                                t0=t0, timeend=timeend, solver=solver,
                                driver_config=dc,
-                               init_args=modeldata or {})
+                               init_args=modeldata or {},
+                               cfl=(Courant_number
+                                    if Courant_number is not None else 0.4),
+                               cfl_direction=CFL_direction,
+                               ode_solver_type=solver_type)

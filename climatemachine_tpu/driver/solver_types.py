@@ -28,6 +28,11 @@ class ExplicitSolverType:
     def make(self, dg: DGModel, q0, aux0, dt: float):
         return self.solver_method(lambda q, a, t: dg(q, a, t), dt)
 
+    def getdtmodel(self, bl):
+        """Model with the most restrictive dt (reference
+        ExplicitSolverType.jl:33: the full balance law)."""
+        return bl
+
 
 @dataclass
 class IMEXSolverType:
@@ -36,6 +41,11 @@ class IMEXSolverType:
     split-explicit-implicit remainder."""
     implicit_model: Callable = AtmosAcousticGravityLinearModel
     solver_method: Callable = ark_mod.ARK2GiraldoKellyConstantinescu
+
+    def getdtmodel(self, bl):
+        """Most restrictive dynamics are treated implicitly (reference
+        IMEXSolverType.jl:118): dt is set by the linear model."""
+        return self.implicit_model(bl)
 
     def make(self, dg: DGModel, q0, aux0, dt: float):
         atmos = dg.balance_law

@@ -215,6 +215,23 @@ class AtmosFilterPerturbations(FilterTarget):
         return qf + self._ref(aux)
 
 
+class CustomFilter:
+    """Pointwise user hook on the prognostic state (reference
+    src/Numerics/DGMethods/custom_filter.jl AbstractCustomFilter /
+    custom_filter!).  Subclass and implement ``filter(model, q, aux) ->
+    q``; apply with :func:`apply_custom_filter`.  Modifying the state this
+    way does not guarantee conservation (reference docstring warning)."""
+
+    def filter(self, model, q, aux):
+        raise NotImplementedError
+
+
+def apply_custom_filter(cf: CustomFilter, model, q, aux):
+    """(reference custom_filter.jl apply! — pointwise over all real
+    elements; here one vectorized call)."""
+    return cf.filter(model, q, aux)
+
+
 def apply_filter(grid, q, filt: SpectralFilter, target: FilterTarget = None,
                  aux=None, direction: str = EVERY,
                  fields: Optional[Sequence[int]] = None):

@@ -44,7 +44,18 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
             cb.init(state)
 
     t = t0
-    for istep in range(numberofsteps):
+    istep = 0
+    adapted = False
+    while istep < numberofsteps:
+        if solver.dt != dt:
+            adapted = True
+            # a callback adapted the timestep (reference updatedt!,
+            # Callbacks.jl:340 adapt_timestep): re-jit and re-derive the
+            # remaining step count against timeend
+            dt = solver.dt
+            jit_step = jax.jit(solver.step)
+            numberofsteps = istep + int(
+                math.ceil((timeend - t) / dt - 1e-12))
         step_dt = dt
         if adjustfinalstep and t + dt > timeend:
             # final partial step: re-jit with adjusted dt (rare; once)
@@ -55,8 +66,13 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
             solver.dt = solver_dt
         else:
             q, aux = jit_step(state.q, state.aux, t)
-        t = t0 + (istep + 1) * dt if not adjustfinalstep else min(
-            t + step_dt, timeend)
+        if adjustfinalstep:
+            t = min(t + step_dt, timeend)
+        elif adapted:
+            t = t + step_dt
+        else:
+            # drift-free for a fixed dt
+            t = t0 + (istep + 1) * dt
         state.q, state.aux, state.t, state.step = q, aux, t, istep + 1
 
         stop = False
@@ -66,6 +82,7 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
                     stop = True
         if stop or t >= timeend - 1e-12 * max(1.0, abs(timeend)):
             break
+        istep += 1
 
     for cb in callbacks:
         if hasattr(cb, "fini"):
