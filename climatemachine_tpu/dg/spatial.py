@@ -250,6 +250,8 @@ class DGModel:
         self.n_auxiliary = bl.num_state(st.Auxiliary())
         self.n_gradient = bl.num_state(st.Gradient())
         self.n_gradient_flux = bl.num_state(st.GradientFlux())
+        # static tables for the rows-layout LDG path, keyed (n, faces[, nc])
+        self._rows_cache = {}
 
     # --- face helpers -------------------------------------------------------
 
@@ -272,7 +274,7 @@ class DGModel:
             sl = [xb[:, :, 0], xb[:, :, -1], xb[:, 0, :], xb[:, -1, :]]
         X = g.Nfp_max * n
         out = []
-        for f, s in enumerate(sl):
+        for s in sl:
             v = s.reshape(E, -1)                      # [E, Nfp_f*n]
             if v.shape[1] < X:
                 v = jnp.pad(v, ((0, 0), (0, X - v.shape[1])))
@@ -304,7 +306,15 @@ class DGModel:
             idxP = g.vmapP[:, faces, :]
             return flat[idxM], flat[idxP]
 
+        # NOTE: a direction-restricted variant (build + gather rows for
+        # only the active faces) was tried and measured SLOWER in
+        # composition (44 vs 14 ms for the hyperdiffusion divergence at
+        # p4/12k elems): XLA's layout assignment picks a column-major
+        # rows layout for the 4-slice stack and cascades 5-D relayout
+        # copies downstream.  The full-face exchange keeps the proven
+        # layout; directional callers slice afterwards.
         E, n = x.shape[0], x.shape[-1]
+        all_faces = tuple(range(g.nface))
         rows = self._face_rows(x)                          # [E*nface, X]
         xM_all = rows.reshape(E, g.nface, g.Nfp_max, n)
         nbr = rows[g.face_nbr_row]                         # row gather
@@ -317,7 +327,7 @@ class DGModel:
         else:
             xP_all = jnp.take_along_axis(nbr, g.face_perm_idx[..., None],
                                          axis=2)
-        if faces == tuple(range(g.nface)):
+        if faces == all_faces:
             return xM_all, xP_all
         return xM_all[:, faces], xP_all[:, faces]
 
@@ -388,6 +398,103 @@ class DGModel:
         return grad
 
     # --- generic LDG helpers (hyperdiffusion chain) --------------------------
+    #
+    # Two implementations:
+    #  * rows layout (local grids): ALL face math stays in gather-ready
+    #    rows [E*nface, Nfp*n] — no [E, nface, Nfp, n] materialization.
+    #    The 4-D face tensor costs a (8,128)-tile relayout (trailing n≪128
+    #    padded to a full lane tile) measured at 2-3 ms per exchange at
+    #    p4/12k elems; the rows form keeps lanes = Nfp·n wide.  Orientation
+    #    is a handful of masked [X,X] kron-permutation matmuls (identity on
+    #    axis-aligned and this cubed-sphere topology's grids — free), the
+    #    lift is one static [nface·Nfp·n, Np·n] kron(Lᵀ, I_n) matmul.
+    #  * legacy 4-D face tensors (sharded grids, vmap gathers).
+
+    def _ldg_rows_tables(self, n, ncd):
+        """Rows-layout tables for width n (cached per width).
+
+        Everything derived from grid ARRAYS is deferred behind lambdas
+        re-evaluated at every trace: (a) the grid may itself be a traced
+        pytree (solver jits close over it as inputs in some setups), so
+        no np.asarray on its fields; (b) baking the wide lane-expanded
+        geometry rows ([E·nface, Nfp·n] ≈ 30-90 MB) as jit constants
+        blew the remote compiler's request-size limit (HTTP 413) —
+        jnp.repeat of already-resident grid arrays is free to ship and
+        XLA constant-folds it when the grid is concrete."""
+        key = (n, ncd)
+        tab = self._rows_cache.get(key)
+        if tab is not None:
+            return tab
+        import numpy as np
+        g = self.grid
+        E, nface, Nfp, Np = g.nelem, g.nface, g.Nfp_max, g.Np
+        dt = np.dtype(g.sM.dtype)
+
+        def rep(a):                            # [E, nface, Nfp] -> lanes ×n
+            return jnp.repeat(a.reshape(E * nface, Nfp), n, axis=1)
+
+        tab = {}
+        tab["sM_rows"] = lambda: rep(g.sM)
+        tab["sMn_rows"] = tuple(
+            (lambda c=c: rep(g.sM * g.normals[..., c]))
+            for c in range(ncd))
+        # n·v contraction in rows layout: lane (k,c,j) weights + summer
+        tab["nrm_lane"] = lambda: jnp.repeat(
+            g.normals.reshape(E * nface, Nfp * ncd), n, axis=1)
+        S = np.kron(np.eye(Nfp, dtype=dt),
+                    np.kron(np.ones((ncd, 1), dtype=dt), np.eye(n, dtype=dt)))
+        tab["S"] = jnp.asarray(S)              # [Nfp*ncd*n, Nfp*n]
+        # boundary rows: neighbor is self, n⁺ = n⁻ (no sign flip)
+        tab["nbr_sign"] = lambda: jnp.where(
+            g.face_bctag.reshape(E * nface, 1) != 0,
+            jnp.ones((), dt), -jnp.ones((), dt))
+        # orientation: per-(face, code) masked kron-permutation matmuls
+        # (identity topologies — bricks and this cubed-sphere builder —
+        # skip this entirely via face_perm_identity)
+        def make_perms():
+            if g.face_perm_identity:
+                return ()
+            sel = np.eye(nface, dtype=dt)
+            out = []
+            n_codes = g.face_perm_P.shape[1]
+            eye_n = jnp.eye(n, dtype=dt)
+            for f in range(nface):
+                for c in range(n_codes):
+                    m = (g.face_orient_onehot[:, :, c]
+                         * jnp.asarray(sel[f])[None, :])
+                    PK = jnp.kron(g.face_perm_P[f, c].astype(dt), eye_n)
+                    out.append((m.reshape(E * nface, 1), PK))
+            return tuple(out)
+        tab["perms"] = make_perms
+        self._rows_cache[key] = tab
+        return tab
+
+    def _lift_rows_W(self, n, faces):
+        """Lift as one static kron matmul: W[(f,k,j),(p,j)] = L[p, f·Nfp+k]
+        with inactive faces zeroed (feeding all-face rows avoids the
+        active-face slice + minor-dim merge relayout).  Built with jnp
+        (trace-safe for traced grids; constant-folded otherwise)."""
+        import numpy as np
+        g = self.grid
+        key = ("Wmask", faces)
+        mask = self._rows_cache.get(key)
+        if mask is None:
+            m = np.zeros((g.nface * g.Nfp_max,), np.dtype(g.lift.dtype))
+            for f in faces:
+                m[f * g.Nfp_max:(f + 1) * g.Nfp_max] = 1
+            mask = jnp.asarray(m)
+            self._rows_cache[key] = mask
+        Lz = g.lift * mask[None, :]
+        return jnp.kron(Lz.T, jnp.eye(n, dtype=g.lift.dtype))
+
+    def _perm_rows(self, x_rows, tab):
+        """Apply per-row face orientation in rows layout."""
+        if self.grid.face_perm_identity:
+            return x_rows
+        out = 0.0
+        for mask, PK in tab["perms"]():
+            out = out + mask * jnp.matmul(x_rows, PK, precision=_HI)
+        return out
 
     def dg_gradient_of(self, x, direction: Optional[str] = None):
         """Central-flux DG gradient of arbitrary fields x [E, Np, n] ->
@@ -398,6 +505,21 @@ class DGModel:
         dims = direction_dims(direction, g.dim)
         faces = direction_faces(direction, g.dim)
         grad = strong_gradient(g, x, dims)
+        if g.face_nbr_row is not None and self.exchange is None:
+            E, n = x.shape[0], x.shape[-1]
+            ncd = g.normals.shape[-1]
+            tab = self._ldg_rows_tables(n, ncd)
+            W = self._lift_rows_W(n, faces)
+            rows = self._face_rows(x)                  # [E*nface, Nfp*n]
+            xP = self._perm_rows(rows[g.face_nbr_row.reshape(-1)], tab)
+            d = 0.5 * (xP - rows)
+            outs = []
+            for c in range(ncd):
+                t = (tab["sMn_rows"][c]() * d).reshape(E, -1)
+                outs.append(jnp.matmul(t, W, precision=_HI)
+                            .reshape(E, g.Np, n))
+            corr = jnp.stack(outs, axis=2)             # [E, Np, ncd, n]
+            return grad + g.MI[:, :, None, None] * corr
         xM, xP = self._gather_faces(x, faces)
         nrm = g.normals[:, faces, :, :]
         corr = nrm[..., :, None] * (0.5 * (xP + xM) - xM)[..., None, :]
@@ -415,19 +537,33 @@ class DGModel:
         # strong divergence: sum_a xi_a,x_i D_a v_i (one fused matmul for
         # the derivatives, VPU loop for the short metric contraction)
         E, nc, n = v.shape[0], v.shape[2], v.shape[3]
-        dv = ref_gradient(g, v.reshape(E, g.Np, nc * n), dims)
+        vflat = v.reshape(E, g.Np, nc * n)
+        dv = ref_gradient(g, vflat, dims)
         dv = dv.reshape(E, len(dims), g.Np, nc, n)
         div = 0.0
         for idx, a in enumerate(dims):
             div = div + jnp.sum(g.xi_x[:, :, a, :, None] * dv[:, idx],
                                 axis=2)
-        # interface central correction: n·(v* - v-)
-        E, n = v.shape[0], v.shape[-1]
-        vflat = v.reshape(E, g.Np, 3 * n)
-        vM, vP = self._gather_faces(vflat, faces)
-        vM = vM.reshape(vM.shape[:-1] + (3, n))
-        vP = vP.reshape(vP.shape[:-1] + (3, n))
+        # interface central correction: n·(v* − v⁻) = 0.5 n·(vP − vM)
+        if g.face_nbr_row is not None and self.exchange is None:
+            # SCALAR exchange in rows layout: each side computes
+            # s = n·v with its OWN outward normal; the neighbor's value
+            # enters as n⁻·vP = −s⁺ (watertight mesh), so only an
+            # n-wide row rides the gather instead of ncd·n.
+            tab = self._ldg_rows_tables(n, nc)
+            W = self._lift_rows_W(n, faces)
+            rows_v = self._face_rows(vflat)            # [E*nf, Nfp*ncd*n]
+            s = jnp.matmul(rows_v * tab["nrm_lane"](), tab["S"],
+                           precision=_HI)              # [E*nf, Nfp*n]
+            s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
+            d = 0.5 * (tab["nbr_sign"]() * s_nbr - s)
+            t = (tab["sM_rows"]() * d).reshape(E, -1)
+            corr = jnp.matmul(t, W, precision=_HI).reshape(E, g.Np, n)
+            return div + g.MI[:, :, None] * corr
         nrm = g.normals[:, faces, :, :]
+        vM, vP = self._gather_faces(vflat, faces)
+        vM = vM.reshape(vM.shape[:-1] + (nc, n))
+        vP = vP.reshape(vP.shape[:-1] + (nc, n))
         diff = 0.5 * (vP + vM) - vM
         corr = sum(nrm[..., c, None] * diff[..., c, :]
                    for c in range(nrm.shape[-1]))
@@ -505,7 +641,11 @@ class DGModel:
 
         # interface: - M^{-1} L (sM F*)
         # single fused face exchange: q, aux (and gf/hyper when present)
-        # ride one slice-extract + one row gather + one orientation einsum
+        # ride one slice-extract + one row gather + one orientation einsum.
+        # (Exchanging only the state-dependent aux slots and rebuilding
+        # the plus side by scatter was tried and measured SLOWER: the
+        # separate minus-side rows build + scatter relayout cost more
+        # than the narrower gather saved.)
         nq, naux = q.shape[-1], aux.shape[-1]
         parts = [q, aux]
         if gf is not None:

@@ -15,7 +15,7 @@ def load_xspace(trace_dir):
     if not paths:
         sys.exit(f"no .xplane.pb under {trace_dir}")
     path = max(paths, key=os.path.getmtime)
-    from xprof.convert.raw_to_tool_data import xspace_pb2 as pb  # noqa
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2 as pb  # noqa
     xs = pb.XSpace()
     with open(path, "rb") as f:
         xs.ParseFromString(f.read())
