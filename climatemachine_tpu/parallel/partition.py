@@ -31,11 +31,20 @@ class ElementPartition:
       ndev: number of shards.
       E_loc: elements per shard.
       max_send: padded per-shard export count (face nodes).
-      send_idx: [ndev, max_send] local flat node index each shard packs.
+      send_idx: [ndev, max_send] local flat node index each shard packs
+        (all-gather halo).
       vmapP_loc: [ndev, E_loc, nface, Nfp_max] per-shard face-neighbor map
-        into the extended node space [E_loc*Np + ndev*max_send].
+        into the extended node space [E_loc*Np + ndev*max_send]
+        (all-gather halo).
       vmapM_loc: [E_loc, nface, Nfp_max] local minus-side map (same for all
         shards).
+      offsets: shard-offset ring distances (dst−src mod ndev) with any
+        traffic — the neighbor set of the ppermute halo.
+      max_send_off: padded per-(offset, shard) export count.
+      send_idx_off: [n_off, ndev, max_send_off] local flat node index shard
+        d packs for neighbor (d+offsets[oi]) % ndev.
+      vmapP_perm: [ndev, E_loc, nface, Nfp_max] face-neighbor map into the
+        ppermute extended node space [E_loc*Np + n_off*max_send_off].
     """
     ndev: int
     E_loc: int
@@ -44,6 +53,11 @@ class ElementPartition:
     send_idx: np.ndarray
     vmapP_loc: np.ndarray
     vmapM_loc: np.ndarray
+    offsets: tuple = ()
+    max_send_off: int = 0
+    send_idx_off: np.ndarray = None
+    vmapP_perm: np.ndarray = None
+    pairs_off: tuple = ()   # per offset: source shards with traffic
 
 
 def partition_grid(grid, ndev: int) -> ElementPartition:
@@ -104,6 +118,52 @@ def partition_grid(grid, ndev: int) -> ElementPartition:
     # the first block already is the local minus-side map.
     vmapM_loc = vmapM[:E_loc]
 
+    # ---- neighbor (ppermute) halo: per-ordered-pair export lists --------
+    # pair (d → s): nodes owned by d that shard s references.  Traffic is
+    # grouped by ring offset o = (s − d) mod ndev; one ppermute per offset
+    # moves only what that neighbor distance actually needs (the
+    # all-gather halo ships every shard's full export list to everyone).
+    pair_exports = {}
+    for s in range(ndev):
+        blk = vmapP[s * E_loc:(s + 1) * E_loc]
+        own = ref_owner[s * E_loc:(s + 1) * E_loc]
+        for d in np.unique(own):
+            if d == s:
+                continue
+            pair_exports[(int(d), s)] = np.unique(blk[own == d])
+    offsets = tuple(sorted({(s - d) % ndev for d, s in pair_exports}))
+    n_off = len(offsets)
+    max_send_off = max((len(v) for v in pair_exports.values()), default=0)
+    max_send_off = max(max_send_off, 1)
+    send_idx_off = np.zeros((max(n_off, 1), ndev, max_send_off),
+                            dtype=np.int64)
+    for (d, s), ex in pair_exports.items():
+        oi = offsets.index((s - d) % ndev)
+        send_idx_off[oi, d, :len(ex)] = ex - d * E_loc * Np
+    vmapP_perm = np.zeros((ndev, E_loc, nface, Nfpm), dtype=np.int64)
+    for s in range(ndev):
+        blk = vmapP[s * E_loc:(s + 1) * E_loc]
+        own = ref_owner[s * E_loc:(s + 1) * E_loc]
+        local = blk - s * E_loc * Np
+        remote = np.zeros_like(blk)
+        for d in np.unique(own):
+            if d == s:
+                continue
+            ex = pair_exports[(int(d), s)]
+            oi = offsets.index((s - int(d)) % ndev)
+            m = own == d
+            pos = np.searchsorted(ex, blk[m])
+            remote[m] = halo_base + oi * max_send_off + pos
+        vmapP_perm[s] = np.where(own == s, local, remote)
+
+    pairs_off = tuple(
+        tuple(sorted(d for (d, s) in pair_exports
+                     if (s - d) % ndev == o))
+        for o in offsets)
+
     return ElementPartition(ndev=ndev, E_loc=E_loc, Np=Np,
                             max_send=max_send, send_idx=send_idx,
-                            vmapP_loc=vmapP_loc, vmapM_loc=vmapM_loc)
+                            vmapP_loc=vmapP_loc, vmapM_loc=vmapM_loc,
+                            offsets=offsets, max_send_off=max_send_off,
+                            send_idx_off=send_idx_off,
+                            vmapP_perm=vmapP_perm, pairs_off=pairs_off)

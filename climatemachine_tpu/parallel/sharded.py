@@ -7,9 +7,13 @@ Isend/Irecv + pack/unpack kernels) and the comm/compute-overlapped RHS
 
 - State lives as a global jax.Array sharded over the element axis of a
   1-D ``Mesh(('e',))`` (columns never split — partition.py).
-- Inside ``shard_map`` the halo is: gather export face-nodes → one
-  ``all_gather`` over the ICI ring → concat as an extended node space
-  that the per-shard ``vmapP`` indexes.  XLA schedules the collective
+- Inside ``shard_map`` the halo (default ``halo='ppermute'``) is: pack
+  per-neighbor export face-nodes → one ``lax.ppermute`` per shard-ring
+  offset with traffic → concat as an extended node space the per-shard
+  ``vmapP`` indexes.  Each permute moves only what that neighbor
+  distance needs and rides a point-to-point ICI hop; ``halo='allgather'``
+  keeps the simpler one-collective variant (every shard's full export
+  list to everyone) for comparison.  XLA schedules the collectives
   asynchronously against the volume einsums, recovering the reference's
   comm/compute overlap without explicit double buffering.
 - Global reductions (norm/dt/conservation) are jnp reductions of the
@@ -74,10 +78,21 @@ class ShardedDGModel:
     but q/aux are global arrays sharded over ``mesh`` axis 'e'.
     """
 
-    def __init__(self, dg: DGModel, mesh: Mesh):
+    def __init__(self, dg: DGModel, mesh: Mesh, halo: str = "auto"):
+        """halo: 'ppermute' (per-neighbor exchange, minimal traffic),
+        'allgather' (one collective, every shard's exports to everyone),
+        or 'auto' = ppermute on TPU, allgather on CPU.  XLA:CPU's
+        collective rendezvous can starve under deep async launch queues
+        (hundreds of un-synced steps) when a program issues several
+        point-to-point permutes; the CPU mesh is a validation rig, so it
+        defaults to the single-collective variant."""
+        if halo == "auto":
+            halo = ("ppermute" if jax.default_backend() == "tpu"
+                    else "allgather")
         self.inner = dg
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
+        self.halo = halo
         ndev = mesh.devices.size
         g = dg.grid
         self.part = partition_grid(g, ndev)
@@ -85,10 +100,14 @@ class ShardedDGModel:
 
         self.sharding = NamedSharding(mesh, P(self.axis))
         # stacked per-shard index maps, sharded so each device gets its own
+        if halo == "ppermute":
+            vmapP_np, send_np = p.vmapP_perm, p.send_idx_off.transpose(1, 0, 2)
+        else:
+            vmapP_np, send_np = p.vmapP_loc, p.send_idx
         self._vmapP = jax.device_put(
-            jnp.asarray(p.vmapP_loc, dtype=jnp.int32), self.sharding)
+            jnp.asarray(vmapP_np, dtype=jnp.int32), self.sharding)
         self._send_idx = jax.device_put(
-            jnp.asarray(p.send_idx, dtype=jnp.int32), self.sharding)
+            jnp.asarray(send_np, dtype=jnp.int32), self.sharding)
         self._vmapM_loc = jnp.asarray(p.vmapM_loc, dtype=jnp.int32)
 
         # element-sharded geometry
@@ -113,6 +132,10 @@ class ShardedDGModel:
         axis = self.axis
         static = self._static
         vmapM_loc = self._vmapM_loc
+        ndev = self.mesh.devices.size
+        halo_kind = self.halo
+        offsets = self.part.offsets
+        pairs_off = self.part.pairs_off
 
         def shard_fn(q, aux, vmapP, send_idx, M, MI, xi_x, normals, sM,
                      face_bctag, coords, t):
@@ -120,8 +143,26 @@ class ShardedDGModel:
             send_idx = send_idx[0]
 
             def exchange(flat):
-                # pack my exported face nodes, all-gather over the ring,
-                # append as the halo tail of the extended node space
+                # pack exported face nodes, move them, append as the halo
+                # tail of the extended node space (reference
+                # begin/end_ghost_exchange!, MPIStateArrays.jl:411-516)
+                if halo_kind == "ppermute":
+                    parts = [flat]
+                    prev = None
+                    for oi, o in enumerate(offsets):
+                        send = flat[send_idx[oi]]           # [max_off, n]
+                        if prev is not None:
+                            # chain the permutes: XLA:CPU's thunk executor
+                            # may start independent collectives in
+                            # different orders on different shards and
+                            # deadlock the rendezvous; TPU serializes
+                            # collectives by channel anyway.
+                            send, _ = jax.lax.optimization_barrier(
+                                (send, prev))
+                        perm = [(d, (d + o) % ndev) for d in pairs_off[oi]]
+                        prev = jax.lax.ppermute(send, axis, perm)
+                        parts.append(prev)
+                    return jnp.concatenate(parts, axis=0)
                 send = flat[send_idx]                       # [max_send, n]
                 halo = jax.lax.all_gather(send, axis)       # [ndev, ms, n]
                 halo = halo.reshape((-1,) + flat.shape[1:])

@@ -54,8 +54,9 @@ def _atmos(grid, spherical=False):
     return AtmosModel(physics, problem, sources=(Gravity(),))
 
 
+@pytest.mark.parametrize("halo", ["ppermute", "allgather"])
 @pytest.mark.parametrize("topo_kind", ["brick", "sphere"])
-def test_sharded_rhs_matches_single_device(topo_kind):
+def test_sharded_rhs_matches_single_device(topo_kind, halo):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     if topo_kind == "brick":
         r = [np.linspace(0, 1e3, 5), np.linspace(0, 1e3, 3),
@@ -75,7 +76,7 @@ def test_sharded_rhs_matches_single_device(topo_kind):
     assert bool(jnp.all(jnp.isfinite(tend_ref)))
 
     mesh = make_mesh(jax.devices()[:8])
-    sdg = ShardedDGModel(dg, mesh)
+    sdg = ShardedDGModel(dg, mesh, halo=halo)
     qs, auxs = sdg.shard(q), sdg.shard(aux)
     tend_sh, _ = jax.jit(sdg)(qs, auxs, 0.0)
 
