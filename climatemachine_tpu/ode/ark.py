@@ -4,7 +4,7 @@ Scope of reference ``src/Numerics/ODESolvers/AdditiveRungeKuttaMethod.jl``
 (AdditiveRungeKutta :68, dostep! :264-415, tableaus
 ARK1ForwardBackwardEuler :690, ARK2ImplicitExplicitMidpoint :768,
 ARK2GiraldoKellyConstantinescu :839, ARK548L2SA2KennedyCarpenter :1003,
-ARK437L2SA1KennedyCarpenter :1148).
+ARK437L2SA1KennedyCarpenter :1148, DBM453VoglEtAl :1283).
 
 dQ/dt = f_ex(Q) + f_im(Q) with f_im linear (HEVI vertical operator);
 ESDIRK implicit tableau with constant diagonal γ so one columnwise
@@ -184,4 +184,104 @@ def ARK548L2SA2KennedyCarpenter(rhs_ex, rhs_im, solver, dt):
     C = [0.0, 4.0 / 9.0, 6456083330201.0 / 8509243623797.0,
          1632083962415.0 / 14158861528103.0,
          6365430648612.0 / 17842476412687.0, 18.0 / 25.0, 191.0 / 200.0, 1.0]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
+
+
+def ARK437L2SA1KennedyCarpenter(rhs_ex, rhs_im, solver, dt):
+    """7-stage 4th-order ARK (reference :1148; Kennedy & Carpenter 2019
+    ARK4(3)7L[2]SA₁).  Coefficients from the published paper; stiffly
+    accurate ESDIRK with constant diagonal γ = 0.1235."""
+    g = 1235.0 / 10000.0
+    n = 7
+    A_im = np.zeros((n, n))
+    A_ex = np.zeros((n, n))
+    for i in range(1, n):
+        A_im[i, i] = g
+    A_im[2, 1] = 624185399699.0 / 4186980696204.0
+    A_im[3, 1] = 1258591069120.0 / 10082082980243.0
+    A_im[3, 2] = -322722984531.0 / 8455138723562.0
+    A_im[4, 1] = -436103496990.0 / 5971407786587.0
+    A_im[4, 2] = -2689175662187.0 / 11046760208243.0
+    A_im[4, 3] = 4431412449334.0 / 12995360898505.0
+    A_im[5, 1] = -2207373168298.0 / 14430576638973.0
+    A_im[5, 2] = 242511121179.0 / 3358618340039.0
+    A_im[5, 3] = 3145666661981.0 / 7780404714551.0
+    A_im[5, 4] = 5882073923981.0 / 14490790706663.0
+    B = np.zeros(n)
+    B[2] = 9164257142617.0 / 17756377923965.0
+    B[3] = -10812980402763.0 / 74029279521829.0
+    B[4] = 1335994250573.0 / 5691609445217.0
+    B[5] = 2273837961795.0 / 8368240463276.0
+    B[6] = 247.0 / 2000.0
+    A_im[6, :6] = B[:6]                    # stiffly accurate last row
+    for i in range(1, n):
+        A_im[i, 0] = A_im[i, 1]
+
+    C = np.zeros(n)
+    C[1] = 247.0 / 1000.0
+    C[2] = 4276536705230.0 / 10142255878289.0
+    C[3] = 67.0 / 200.0
+    C[4] = 3.0 / 40.0
+    C[5] = 7.0 / 10.0
+    C[6] = 1.0
+
+    A_ex[1, 0] = C[1]
+    A_ex[2, 0] = 247.0 / 4000.0
+    A_ex[2, 1] = 2694949928731.0 / 7487940209513.0
+    A_ex[3, 0] = 464650059369.0 / 8764239774964.0
+    A_ex[3, 1] = 878889893998.0 / 2444806327765.0
+    A_ex[3, 2] = -952945855348.0 / 12294611323341.0
+    A_ex[4, 0] = 476636172619.0 / 8159180917465.0
+    A_ex[4, 1] = -1271469283451.0 / 7793814740893.0
+    A_ex[4, 2] = -859560642026.0 / 4356155882851.0
+    A_ex[4, 3] = 1723805262919.0 / 4571918432560.0
+    A_ex[5, 0] = 6338158500785.0 / 11769362343261.0
+    A_ex[5, 1] = -4970555480458.0 / 10924838743837.0
+    A_ex[5, 2] = 3326578051521.0 / 2647936831840.0
+    A_ex[5, 3] = -880713585975.0 / 1841400956686.0
+    A_ex[5, 4] = -1428733748635.0 / 8843423958496.0
+    A_ex[6, 1] = 760814592956.0 / 3276306540349.0
+    A_ex[6, 2] = -47223648122716.0 / 6934462133451.0
+    A_ex[6, 3] = 71187472546993.0 / 9669769126921.0
+    A_ex[6, 4] = -13330509492149.0 / 9695768672337.0
+    A_ex[6, 5] = 11565764226357.0 / 8513123442827.0
+    A_ex[6, 0] = A_ex[6, 1]
+    return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)
+
+
+def DBM453VoglEtAl(rhs_ex, rhs_im, solver, dt):
+    """5-stage 3rd-order additive RK optimized for HEVI atmosphere
+    stepping (reference :1283; Vogl et al. 2019 DBM4(5)3)."""
+    g = 0.32591194130117247
+    n = 5
+    A_im = np.zeros((n, n))
+    A_ex = np.zeros((n, n))
+    for i in range(1, n):
+        A_im[i, i] = g
+    A_im[1, 0] = -0.22284985318525410
+    A_im[2, 0] = -0.46801347074080545
+    A_im[2, 1] = 0.86349284225716961
+    A_im[3, 0] = -0.46509906651927421
+    A_im[3, 1] = 0.81063103116959553
+    A_im[3, 2] = 0.61036726756832357
+    A_im[4, 0] = 0.87795339639076675
+    A_im[4, 1] = -0.72692641526151547
+    A_im[4, 2] = 0.75204137157372720
+    A_im[4, 3] = -0.22898029400415088
+
+    A_ex[1, 0] = 0.10306208811591838
+    A_ex[2, 0] = -0.94124866143519894
+    A_ex[2, 1] = 1.66263997425273560
+    A_ex[3, 0] = -1.36709752014377650
+    A_ex[3, 1] = 1.38158529110168730
+    A_ex[3, 2] = 1.26732340256190650
+    A_ex[4, 0] = -0.81287582068772448
+    A_ex[4, 1] = 0.81223739060505738
+    A_ex[4, 2] = 0.90644429603699305
+    A_ex[4, 3] = 0.094194134045674111
+
+    B = [0.87795339639076672, -0.72692641526151549, 0.7520413715737272,
+         -0.22898029400415090, 0.32591194130117247]
+    C = [0.0, 0.1030620881159184, 0.72139131281753662,
+         1.28181117351981733, 1.0]
     return AdditiveRungeKutta(rhs_ex, rhs_im, solver, dt, A_ex, A_im, B, C)

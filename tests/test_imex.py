@@ -115,3 +115,36 @@ def test_remainder_dgmodel_exact():
     scale = float(jnp.max(jnp.abs(ref))) + 1e-30
     err = float(jnp.max(jnp.abs(t_rem - ref)))
     assert err < 1e-10 * scale
+
+
+def test_ark_tableau_order():
+    """Scalar IMEX convergence orders of the full tableau family
+    (reference test/Numerics/ODESolvers/ode_tests_basic.jl)."""
+    import numpy as np
+    from climatemachine_tpu.ode.ark import (
+        ARK2GiraldoKellyConstantinescu, ARK437L2SA1KennedyCarpenter,
+        ARK548L2SA2KennedyCarpenter, DBM453VoglEtAl)
+
+    lam_ex, lam_im = -0.6, -3.0
+    exact = np.exp(lam_ex + lam_im)
+
+    class _Solver:
+        def solve(self, rhs, alpha_dt):
+            return rhs / (1.0 - alpha_dt * lam_im)
+
+    def run(ctor, n):
+        sol = ctor(lambda q, a, t: (lam_ex * q, a),
+                   lambda q, a, t: (lam_im * q, a), _Solver(), 1.0 / n)
+        q, aux, t = jnp.asarray([1.0]), None, 0.0
+        for _ in range(n):
+            q, aux = sol.step(q, aux, t)
+            t += 1.0 / n
+        return abs(float(q[0]) - exact)
+
+    for ctor, order in [(ARK2GiraldoKellyConstantinescu, 2),
+                        (DBM453VoglEtAl, 3),
+                        (ARK437L2SA1KennedyCarpenter, 4),
+                        (ARK548L2SA2KennedyCarpenter, 5)]:
+        e1, e2 = run(ctor, 8), run(ctor, 16)
+        p = np.log2(e1 / e2)
+        assert p > order - 0.6, (ctor.__name__, p, e1, e2)
