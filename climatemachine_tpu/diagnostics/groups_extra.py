@@ -231,7 +231,12 @@ class AtmosLESSpectraGroup:
 class AtmosGCMSpectraGroup:
     """Zonal KE spectrum on an interpolated lat-lon-level grid (reference
     atmos_gcm_spectra.jl: "spectrum_1d" of 0.5(u^2+v^2) per zonal
-    wavenumber, latitude-weighted average)."""
+    wavenumber, latitude-weighted average).
+
+    When the interpolation latitudes are Gauss-Legendre nodes (use
+    ``spectra.gaussian_lats_deg``), additionally emits the full
+    spherical-harmonic spectrum "spectrum_2d" [m, n, level] (reference
+    power_spectrum_gcm.jl:78 power_spectrum_2d)."""
 
     name = "AtmosGCMSpectra"
 
@@ -246,6 +251,15 @@ class AtmosGCMSpectraGroup:
         self.lats, self.lons, self.rads = (np.asarray(lats),
                                            np.asarray(lons),
                                            np.asarray(rads))
+        from climatemachine_tpu.common.spectra import (gaussian_latitudes,
+                                                       legendre_table)
+        sin_g, w_g = gaussian_latitudes(len(self.lats))
+        self._sph = None
+        if np.allclose(np.sin(np.deg2rad(self.lats)), sin_g, atol=1e-8):
+            num_four = max((len(self.lons) - 1) // 2, 1)
+            num_sph = min(len(self.lats) - 1, 2 * num_four)
+            P = legendre_table(num_four, num_sph, sin_g)
+            self._sph = (P, w_g)
 
         bl = self.model
 
@@ -265,7 +279,14 @@ class AtmosGCMSpectraGroup:
         ke = 0.5 * (u_zon ** 2 + u_mer ** 2)
         w = np.cos(np.deg2rad(self.lats))
         spec = power_spectrum_1d(ke, lat_weights=w)  # [nk, nlev]
-        return {"spectrum_1d": spec}
+        out = {"spectrum_1d": spec}
+        if self._sph is not None:
+            from climatemachine_tpu.common.spectra import power_spectrum_2d
+            P, w_g = self._sph
+            # [lat, lon, lev] -> [lon, lat, lev] for the transform
+            out["spectrum_2d"] = power_spectrum_2d(
+                np.moveaxis(ke, 0, 1), P, w_g)
+        return out
 
     def write(self, q, aux, t):
         vals = self.collect(q, aux, t)
@@ -273,14 +294,19 @@ class AtmosGCMSpectraGroup:
             return vals
         if not self._initialized:
             nk = vals["spectrum_1d"].shape[0]
-            self.writer.init_data(
-                self.out_path,
-                {"k": np.arange(1, nk + 1, dtype=np.float64),
-                 "level": self.rads},
-                {"spectrum_1d": (("k", "level"), np.float64)})
+            dims = {"k": np.arange(1, nk + 1, dtype=np.float64),
+                    "level": self.rads}
+            varspec = {"spectrum_1d": (("k", "level"), np.float64)}
+            if "spectrum_2d" in vals:
+                m, n = vals["spectrum_2d"].shape[:2]
+                dims["m"] = np.arange(m, dtype=np.float64)
+                dims["n"] = np.arange(n, dtype=np.float64)
+                varspec["spectrum_2d"] = (("m", "n", "level"), np.float64)
+            self.writer.init_data(self.out_path, dims, varspec)
             self._initialized = True
-        self.writer.append_data(self.out_path,
-                                {"spectrum_1d": vals["spectrum_1d"]}, t)
+        self.writer.append_data(
+            self.out_path,
+            {k: v for k, v in vals.items() if k.startswith("spectrum")}, t)
         return vals
 
     def make_callback(self, every_steps: int):

@@ -125,7 +125,8 @@ def test_gcm_spectra_and_dumps(tmp_path):
     dg = DGModel(cfg.model, cfg.grid)
     q, aux = init_ode_state(dg)
     a = EARTH.planet_radius
-    lats = np.linspace(-80, 80, 9)
+    from climatemachine_tpu.common.spectra import gaussian_lats_deg
+    lats = gaussian_lats_deg(9)
     lons = np.linspace(-180, 170, 16)
     rads = a + np.linspace(2e3, 28e3, 3)
     itp = InterpolationCubedSphere(cfg.grid, lats, lons, rads)
@@ -134,6 +135,10 @@ def test_gcm_spectra_and_dumps(tmp_path):
     vals = grp.write(q, aux, 0.0)
     assert vals["spectrum_1d"].shape == (len(lons) // 2, len(rads))
     assert np.all(np.isfinite(vals["spectrum_1d"]))
+    # gaussian latitudes -> spherical-harmonic spectrum is emitted too
+    assert "spectrum_2d" in vals
+    assert vals["spectrum_2d"].shape[2] == len(rads)
+    assert np.all(np.isfinite(vals["spectrum_2d"]))
 
     # dumps: state (raw), aux (raw), tendencies (interpolated)
     ds = DumpGroup(dg, "state", writer=NetCDFWriter(),
@@ -150,3 +155,46 @@ def test_gcm_spectra_and_dumps(tmp_path):
     import h5py
     with h5py.File(str(tmp_path / "state.nc"), "r") as f:
         assert f["rho"].shape == (1, cfg.grid.nelem, cfg.grid.Np)
+
+
+def test_spherical_harmonic_spectrum():
+    """Legendre-table orthonormality + exact mode recovery + Parseval
+    (reference power_spectrum_gcm.jl:78 power_spectrum_2d and
+    spherical_helper.jl compute_legendre!/compute_gaussian!)."""
+    from climatemachine_tpu.common.spectra import (
+        gaussian_latitudes, legendre_table, power_spectrum_2d,
+        spherical_transform)
+
+    nlat, nlon, M, N = 32, 64, 10, 15
+    sinlat, w = gaussian_latitudes(nlat)
+    P = legendre_table(M, N, sinlat)
+
+    # quadrature orthonormality per m: sum_j w P[m,n,j] P[m,n',j] = I
+    for m in (0, 3, 7):
+        G = np.einsum("nj,kj->nk", P[m] * w[None, :], P[m])
+        sel = np.arange(m, N + 1)
+        assert np.allclose(G[np.ix_(sel, sel)], np.eye(len(sel)),
+                           atol=1e-12)
+
+    # a single (m0, n0) mode lands in exactly one coefficient
+    m0, n0 = 4, 9
+    lon = 2 * np.pi * np.arange(nlon) / nlon
+    f = (np.cos(m0 * lon)[:, None] * P[m0, n0][None, :])
+    coeff = spherical_transform(f, P, w)
+    mag = np.abs(coeff)
+    assert mag[m0, n0] > 0.49                     # cos → half in +m
+    mask = np.ones_like(mag, bool)
+    mask[m0, n0] = False
+    assert np.max(mag[mask]) < 1e-12
+
+    # Parseval: spectrum sums to the area-weighted mean square
+    rng = np.random.default_rng(0)
+    coef_in = rng.standard_normal((M + 1, N + 1))
+    for m in range(M + 1):
+        coef_in[m, :m] = 0.0
+    g = np.zeros((nlon, nlat))
+    for m in range(M + 1):
+        g += np.cos(m * lon)[:, None] * (coef_in[m] @ P[m])
+    spec = power_spectrum_2d(g, P, w)
+    ms = np.sum(w[None, :] * g ** 2) / nlon
+    assert np.isclose(np.sum(spec), ms, rtol=1e-10)
