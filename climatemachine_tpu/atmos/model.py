@@ -535,6 +535,13 @@ class AtmosModel(BalanceLaw):
                                                       qP, t)
         return qP, auxP
 
+    @property
+    def has_boundary_flux_second_order(self):
+        """True when walls may prescribe diffusive fluxes (DragLaw /
+        BulkFormula need the turbulence closure); gates the fast scalar
+        n·F₂ hyperdiffusion exchange in DGModel."""
+        return self.physics.turbulence is not None
+
     def boundary_flux_second_order(self, tag, nrm, qM, gfM, auxM, t):
         """Surface diffusive fluxes at walls (reference bc_momentum.jl
         DragLaw, bc_energy.jl Insulating/BulkFormulaEnergy):

@@ -614,17 +614,18 @@ class DGModel:
         # flux rides the generic contraction on top.
         use_pallas = (self._pallas_volume and gf is None
                       and self.remainder is None)
+        F2 = (bl.flux_second_order(q, gf, hyper, aux, t)
+              if (gf is not None or hyper is not None) else None)
         tendency = None
         if use_pallas:
             from climatemachine_tpu.dg import pallas_volume as _pv
             tendency = _pv.volume_tendency_from_grid(
                 self, q, aux, interpret=self._pallas_interpret)
-            F = (bl.flux_second_order(q, gf, hyper, aux, t)
-                 if hyper is not None else None)
+            F = F2
         else:
             F = bl.flux_first_order(q, aux, t)
-            if gf is not None or hyper is not None:
-                F = F + bl.flux_second_order(q, gf, hyper, aux, t)
+            if F2 is not None:
+                F = F + F2
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
         F_xi = contract_flux_metric(g, F, dims) if F is not None else None
         if self.remainder is not None:
@@ -646,11 +647,25 @@ class DGModel:
         # the plus side by scatter was tried and measured SLOWER: the
         # separate minus-side rows build + scatter relayout cost more
         # than the narrower gather saved.)
+        #
+        # Hyper-only second-order flux (no gradient state): the central
+        # flux 0.5(F₂M + F₂P)·n rides a SCALAR n·F₂ rows exchange (n_prog
+        # wide) instead of shipping the hyperdiffusive state (3·n_grad_lap
+        # wide) — each side contracts its volume F₂ with its own outward
+        # normal, the neighbor enters as −s⁺.  Wall faces carry no
+        # hyperdiffusive transport (F₂ is linear in the hyper state), so
+        # the correction is masked to interior faces — exactly the
+        # hyM/hyP zeroing of the generic path.
+        use_scalar_hyper = (hyper is not None and gf is None
+                            and g.face_nbr_row is not None
+                            and self.exchange is None
+                            and not getattr(bl, "has_boundary_flux_second_order",
+                                            hasattr(bl, "boundary_flux_second_order")))
         nq, naux = q.shape[-1], aux.shape[-1]
         parts = [q, aux]
         if gf is not None:
             parts.append(gf)
-        if hyper is not None:
+        if hyper is not None and not use_scalar_hyper:
             parts.append(hyper)
         bundleM, bundleP = self._gather_faces(
             jnp.concatenate(parts, axis=-1), faces)
@@ -677,7 +692,7 @@ class DGModel:
                                  qP[:, sl], auxP[:, sl], t)
             fstar = fstar.at[:, sl].add(-fstar_lin)
 
-        if gf is not None or hyper is not None:
+        if (gf is not None or hyper is not None) and not use_scalar_hyper:
             gfM = gfP = None
             if gf is not None:
                 ngf = gf.shape[-1]
@@ -716,6 +731,20 @@ class DGModel:
 
         sM = g.sM[:, faces, :, None]
         tendency = tendency - self._lift(sM * fstar, faces)
+
+        if use_scalar_hyper:
+            E = q.shape[0]
+            tab = self._ldg_rows_tables(nq, F2.shape[2])
+            W = self._lift_rows_W(nq, faces)
+            rows_F2 = self._face_rows(F2.reshape(E, g.Np, -1))
+            s = jnp.matmul(rows_F2 * tab["nrm_lane"](), tab["S"],
+                           precision=_HI)              # [E*nf, Nfp*nq]
+            s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
+            interior = g.face_bctag.reshape(-1, 1) == 0
+            d2 = jnp.where(interior, 0.5 * (s - s_nbr), 0.0)
+            corr2 = jnp.matmul((tab["sM_rows"]() * d2).reshape(E, -1), W,
+                               precision=_HI).reshape(E, g.Np, nq)
+            tendency = tendency - g.MI[:, :, None] * corr2
 
         # source
         tendency = tendency + bl.source(q, gf, aux, t)

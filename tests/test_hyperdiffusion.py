@@ -112,3 +112,29 @@ def test_hyperdiffusion_damps_gridscale_noise():
         t += dt
     assert bool(jnp.all(jnp.isfinite(q)))
     assert float(jnp.sum(model.prog(q, "rhou") ** 2)) < ke0
+
+
+def test_scalar_hyper_face_flux_matches_generic():
+    """The scalar n·F2 exchange equals the generic hyM/hyP central flux
+    (same RHS to round-off) on the Held-Suarez config."""
+    import numpy as np
+    from climatemachine_tpu.atmos.model import AtmosModel
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=3,
+                             dtype=np.float64)
+    dg = DGModel(cfg.model, cfg.grid)
+    q, aux = init_ode_state(dg)
+    t1, _ = dg(q, aux, 0.0)          # scalar path (turbulence is None)
+
+    orig = AtmosModel.has_boundary_flux_second_order
+    try:
+        AtmosModel.has_boundary_flux_second_order = property(
+            lambda self: True)       # force the generic bundled path
+        t2, _ = DGModel(cfg.model, cfg.grid)(q, aux, 0.0)
+    finally:
+        AtmosModel.has_boundary_flux_second_order = orig
+
+    scale = float(jnp.max(jnp.abs(t2)))
+    assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-12 * scale
