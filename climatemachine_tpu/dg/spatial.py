@@ -212,7 +212,8 @@ class DGModel:
                  update_aux: bool = True,
                  exchange=None,
                  remainder=None,
-                 volume_kernel: str = "auto"):
+                 volume_kernel: str = "auto",
+                 surface_kernel: str = "auto"):
         self.balance_law = balance_law
         self.grid = grid
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
@@ -244,6 +245,14 @@ class DGModel:
                 if volume_kernel == "pallas" or on_tpu:
                     self._pallas_volume = True
                     self._pallas_interpret = not on_tpu
+
+        # Var-major surface pass (dg/fast_surface.py): "varmajor" forces
+        # it where supported; "auto" currently keeps the generic path
+        # (flip after hardware measurement); "xla" disables.
+        self._fast_surface = False
+        if surface_kernel == "varmajor":
+            from climatemachine_tpu.dg import fast_surface as _fs
+            self._fast_surface = _fs.supports(self)
 
         bl = balance_law
         self.n_prognostic = bl.num_state(st.Prognostic())
@@ -587,6 +596,24 @@ class DGModel:
         grad_lap = self.dg_gradient_of(lap, direction)
         return bl.transform_post_gradient_laplacian(grad_lap, q, aux, t)
 
+    def _scalar_hyper_correction(self, q, aux, F2, faces):
+        """Hyper-only second-order interface term via the scalar n·F₂
+        rows exchange: returns the (signed) tendency contribution
+        −M⁻¹ L (sM · 0.5(n·F₂M + n·F₂P)) masked to interior faces."""
+        g = self.grid
+        E, nq = q.shape[0], q.shape[-1]
+        tab = self._ldg_rows_tables(nq, F2.shape[2])
+        W = self._lift_rows_W(nq, faces)
+        rows_F2 = self._face_rows(F2.reshape(E, g.Np, -1))
+        s = jnp.matmul(rows_F2 * tab["nrm_lane"](), tab["S"],
+                       precision=_HI)                  # [E*nf, Nfp*nq]
+        s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
+        interior = g.face_bctag.reshape(-1, 1) == 0
+        d2 = jnp.where(interior, 0.5 * (s - s_nbr), 0.0)
+        corr2 = jnp.matmul((tab["sM_rows"]() * d2).reshape(E, -1), W,
+                           precision=_HI).reshape(E, g.Np, nq)
+        return -(g.MI[:, :, None] * corr2)
+
     # --- full RHS -------------------------------------------------------------
 
     def __call__(self, q, aux, t):
@@ -662,6 +689,16 @@ class DGModel:
                             and not getattr(bl, "has_boundary_flux_second_order",
                                             hasattr(bl, "boundary_flux_second_order")))
         nq, naux = q.shape[-1], aux.shape[-1]
+        if self._fast_surface and gf is None and use_scalar_hyper == (
+                hyper is not None):
+            from climatemachine_tpu.dg import fast_surface as _fs
+            tendency = tendency + _fs.surface_tendency(self, q, aux, t)
+            if use_scalar_hyper:
+                tendency = tendency + self._scalar_hyper_correction(
+                    q, aux, F2, faces)
+            tendency = tendency + bl.source(q, gf, aux, t)
+            return tendency, aux
+
         parts = [q, aux]
         if gf is not None:
             parts.append(gf)
@@ -733,18 +770,8 @@ class DGModel:
         tendency = tendency - self._lift(sM * fstar, faces)
 
         if use_scalar_hyper:
-            E = q.shape[0]
-            tab = self._ldg_rows_tables(nq, F2.shape[2])
-            W = self._lift_rows_W(nq, faces)
-            rows_F2 = self._face_rows(F2.reshape(E, g.Np, -1))
-            s = jnp.matmul(rows_F2 * tab["nrm_lane"](), tab["S"],
-                           precision=_HI)              # [E*nf, Nfp*nq]
-            s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
-            interior = g.face_bctag.reshape(-1, 1) == 0
-            d2 = jnp.where(interior, 0.5 * (s - s_nbr), 0.0)
-            corr2 = jnp.matmul((tab["sM_rows"]() * d2).reshape(E, -1), W,
-                               precision=_HI).reshape(E, g.Np, nq)
-            tendency = tendency - g.MI[:, :, None] * corr2
+            tendency = tendency + self._scalar_hyper_correction(
+                q, aux, F2, faces)
 
         # source
         tendency = tendency + bl.source(q, gf, aux, t)
