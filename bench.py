@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # env var alone is not enough: the ambient axon plugin hooks
+        # jax.devices() and blocks on the tunnel even for cpu — pin the
+        # platform through the config API before any backend touch
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
@@ -85,5 +90,32 @@ def main():
     }))
 
 
+def _backend_ready():
+    # probe in a subprocess: a failed in-process jax.devices() poisons
+    # the backend cache for the rest of the process
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True, timeout=120)
+    if r.returncode != 0:
+        sys.stderr.write("backend not ready\n")
+    return r.returncode == 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        main()
+        sys.exit(0)
+    # the axon TPU tunnel is occasionally unavailable; retry before
+    # giving up so an unattended bench run survives transient outages
+    for attempt in range(10):
+        try:
+            if _backend_ready():
+                break
+        except Exception as e:
+            sys.stderr.write(f"probe failed: {e}\n")
+        time.sleep(60)
+    else:
+        sys.stderr.write("TPU backend unavailable after 10 attempts\n")
+        sys.exit(2)
     main()
