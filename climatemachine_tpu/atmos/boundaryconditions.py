@@ -140,3 +140,17 @@ class AtmosBC:
         qg = model.prog_spec.set(q, "rhou", rhou_g)
         qg = model.prog_spec.set(qg, "rhoe", rhoe_g)
         return qg, aux
+
+
+@dataclass(frozen=True)
+class InitStateBC:
+    """Ghost state = the problem's ``init_state`` evaluated at the wall
+    (reference bc_initstate.jl InitStateBC): for problems with an
+    explicit/analytic solution (MMS tests, exact-solution benchmarks).
+    The gradient-flux ghost stays the minus side (reference second-order
+    branch copies diff⁻)."""
+
+    def ghost_state(self, model, nrm, q, aux, t):
+        coords = model.aux_get(aux, "coord")
+        qg = model.problem.init_state(model, coords, aux, t)
+        return qg, aux

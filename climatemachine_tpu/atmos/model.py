@@ -553,6 +553,8 @@ class AtmosModel(BalanceLaw):
         if self.physics.turbulence is None:
             return None
         bc = self.problem.boundary_conditions[tag - 1]
+        if not isinstance(bc, abc.AtmosBC):
+            return None     # e.g. InitStateBC: no prescribed wall flux
         s = self.prog_spec
         rho = self.prog(qM, "rho")
         out = jnp.zeros(qM.shape[:-1] + (s.num,), dtype=qM.dtype)

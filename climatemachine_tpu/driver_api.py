@@ -22,8 +22,8 @@ from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics, Coriolis,
                                       HydrostaticState, RayleighSponge)
 from climatemachine_tpu.atmos.boundaryconditions import (
     AtmosBC, BulkFormulaEnergy, BulkFormulaMoisture, DragLaw, FreeSlip,
-    Impenetrable, Impermeable, Insulating, NoSlip, PrescribedMoistureFlux,
-    PrescribedTemperature)
+    Impenetrable, Impermeable, InitStateBC, Insulating, NoSlip,
+    PrescribedMoistureFlux, PrescribedTemperature)
 from climatemachine_tpu.atmos.compressibility import (Anelastic1D,
                                                       Compressible)
 from climatemachine_tpu.atmos.edmf import EDMF
