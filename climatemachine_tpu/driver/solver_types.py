@@ -78,3 +78,63 @@ class IMEXSolverType:
                          for i in range(solver.nstages)} - {0.0}):
             col_solver.prefactorize(g * dt)
         return solver
+
+
+@dataclass
+class MultirateSolverType:
+    """Slow-fast multirate (reference MultirateSolverType.jl:59,
+    SlowFastSplitting): fast = acoustic-gravity linear model in ALL
+    directions, slow = fused remainder; the config dt drives the slow
+    solver, the fast solver substeps at dt / timestep_ratio."""
+    fast_model: Callable = AtmosAcousticGravityLinearModel
+    slow_method: Callable = LSRK54CarpenterKennedy
+    fast_method: Callable = LSRK54CarpenterKennedy
+    timestep_ratio: int = 100
+
+    def getdtmodel(self, bl):
+        """Most restrictive dynamics live in the fast model (reference
+        MultirateSolverType.jl:109)."""
+        return self.fast_model(bl)
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        from climatemachine_tpu.ode.multirate import MultirateRungeKutta
+
+        lin = self.fast_model(dg.balance_law)
+        dg_fast = DGModel(lin, dg.grid,
+                          numerical_flux_first_order=dg.nf1,
+                          direction=dg.direction, update_aux=False,
+                          exchange=dg.exchange)
+        dg_slow = remainder_DGModel(dg, dg_fast)
+        slow = self.slow_method(lambda q, a, t: dg_slow(q, a, t), dt)
+        fast = self.fast_method(lambda q, a, t: dg_fast(q, a, t),
+                                dt / self.timestep_ratio)
+        return MultirateRungeKutta(slow, fast, dt=dt)
+
+
+@dataclass
+class MISSolverType:
+    """Multirate-infinitesimal-step slow-fast splitting (reference
+    MISSolverType.jl:48): fast linear model in all directions, slow =
+    fused remainder, MIS outer method with nsubsteps fast substeps."""
+    fast_model: Callable = AtmosAcousticGravityLinearModel
+    mis_method: Callable = None          # e.g. ode.mis.MIS2 (default)
+    fast_method: Callable = LSRK54CarpenterKennedy
+    nsubsteps: int = 10
+
+    def getdtmodel(self, bl):
+        return self.fast_model(bl)
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        from climatemachine_tpu.ode.mis import MIS2
+
+        mis = self.mis_method or MIS2
+        lin = self.fast_model(dg.balance_law)
+        dg_fast = DGModel(lin, dg.grid,
+                          numerical_flux_first_order=dg.nf1,
+                          direction=dg.direction, update_aux=False,
+                          exchange=dg.exchange)
+        dg_slow = remainder_DGModel(dg, dg_fast)
+        return mis(lambda q, a, t: dg_slow(q, a, t),
+                   lambda q, a, t: dg_fast(q, a, t),
+                   lambda rhs, d: self.fast_method(rhs, d),
+                   nsubsteps=self.nsubsteps, dt=dt)

@@ -148,3 +148,28 @@ def test_ark_tableau_order():
         e1, e2 = run(ctor, 8), run(ctor, 16)
         p = np.log2(e1 / e2)
         assert p > order - 0.6, (ctor.__name__, p, e1, e2)
+
+
+def test_multirate_and_mis_solver_types():
+    """Multirate/MIS strategy objects assemble stable slow-fast solvers
+    on the full atmosphere (reference MultirateSolverType.jl:59 /
+    MISSolverType.jl:48 SlowFastSplitting)."""
+    from climatemachine_tpu.driver.solver_types import (MISSolverType,
+                                                        MultirateSolverType)
+
+    cfg, dg, q0, aux0 = _setup(n_horz=2, n_vert=3, poly=3)
+    dt_exp = 0.3 * min_node_distance(cfg.grid) / 350.0
+
+    for st in (MultirateSolverType(timestep_ratio=4),
+               MISSolverType(nsubsteps=4)):
+        lin = st.getdtmodel(cfg.model)
+        assert lin is not cfg.model
+        sol = st.make(dg, q0, aux0, 4 * dt_exp)
+        step = jax.jit(sol.step)
+        q, aux, t = q0, aux0, 0.0
+        for _ in range(6):
+            q, aux = step(q, aux, t)
+            t += sol.dt
+        assert bool(jnp.all(jnp.isfinite(q))), type(st).__name__
+        u = cfg.model.prog(q, "rhou") / cfg.model.prog(q, "rho")[..., None]
+        assert float(jnp.max(jnp.abs(u))) < 100.0, type(st).__name__
