@@ -56,6 +56,7 @@ class AtmosPhysics:
                                               # Anelastic1D
     lsforcing: Optional[object] = None       # HadGEMVertical or None
     turbconv: Optional[object] = None        # EDMF or None
+    radiation: Optional[object] = None       # DYCOMSRadiationModel or None
 
 
 @dataclass(frozen=True)
@@ -151,7 +152,11 @@ class AtmosModel(BalanceLaw):
             aux_fields["lsforcing"] = physics.lsforcing.vars_aux()
         if physics.turbconv is not None:
             aux_fields["turbconv"] = physics.turbconv.vars_aux()
+        if physics.radiation is not None and \
+                physics.radiation.vars_aux().num:
+            aux_fields["radiation"] = physics.radiation.vars_aux()
         self.aux_spec = VarSpec(**aux_fields)
+        self._column_ops_cache = {}
 
         self.gradlap_spec = (hyper.vars_gradient_laplacian()
                              if hyper is not None else VarSpec())
@@ -396,6 +401,12 @@ class AtmosModel(BalanceLaw):
             F = self.physics.sgstke.flux_first_order(self, q, aux, F, u)
         if self.physics.turbconv is not None:
             F = self.physics.turbconv.flux_first_order(self, q, aux, F, u)
+        rad = self.physics.radiation
+        if rad is not None and hasattr(rad, "energy_flux"):
+            # radiative energy flux F_rad ẑ (reference dycoms.jl:100-121
+            # eq_tends(Energy, DYCOMSRadiationModel, Flux{FirstOrder}))
+            F = s.set(F, "rhoe",
+                      s.get(F, "rhoe") + rad.energy_flux(self, q, aux))
         return F
 
     def wavespeed(self, nrm, q, aux, t):
@@ -406,6 +417,25 @@ class AtmosModel(BalanceLaw):
             # soundspeed_air(ts, ::Anelastic1D) = 0)
             return un
         return un + td.soundspeed_air(self.param_set, T, pp)
+
+    def column_ops(self, grid):
+        """Cached per-grid ColumnOps (stack integrals)."""
+        ops = self._column_ops_cache.get(id(grid))
+        if ops is None:
+            from climatemachine_tpu.dg.columns import ColumnOps
+            ops = ColumnOps(grid)
+            self._column_ops_cache[id(grid)] = ops
+        return ops
+
+    def update_auxiliary_state(self, grid, q, aux, t):
+        """Nodal thermo refresh + column integrals (reference
+        update_auxiliary_state! AtmosModel.jl:831: stack integrals when
+        UpwardIntegrals > 0, then nodal update)."""
+        aux = self.nodal_update_auxiliary_state(q, aux, t)
+        rad = self.physics.radiation
+        if rad is not None and hasattr(rad, "update_aux_integrals"):
+            aux = rad.update_aux_integrals(self, grid, q, aux)
+        return aux
 
     # --- auxiliary update ---------------------------------------------------
     def nodal_update_auxiliary_state(self, q, aux, t):

@@ -54,7 +54,8 @@ def supports(dg) -> bool:
             and not ph.energy.is_theta
             and not ph.compressibility.is_anelastic
             and ph.turbconv is None and bl.tracers.N == 0
-            and ph.turbulence is None and ph.sgstke is None):
+            and ph.turbulence is None and ph.sgstke is None
+            and ph.radiation is None):
         return False
     if type(dg.nf1) is not RusanovNumericalFlux:
         return False

@@ -135,6 +135,7 @@ def supports(balance_law, grid, direction) -> bool:
             and isinstance(ph.moisture, DryModel)
             and not ph.energy.is_theta
             and not ph.compressibility.is_anelastic
+            and ph.radiation is None
             and grid.Wdiv is not None)
 
 

@@ -27,6 +27,8 @@ from climatemachine_tpu.atmos.boundaryconditions import (
 from climatemachine_tpu.atmos.compressibility import (Anelastic1D,
                                                       Compressible)
 from climatemachine_tpu.atmos.edmf import EDMF
+from climatemachine_tpu.atmos.radiation import (DYCOMSRadiationModel,
+                                                NoRadiation)
 from climatemachine_tpu.atmos.energy import ThetaModel, TotalEnergyModel
 from climatemachine_tpu.atmos.hyperdiffusion import (DryBiharmonic,
                                                      EquilMoistBiharmonic)
