@@ -84,6 +84,14 @@ class BulkFormulaEnergy(EnergyBC):
 
 
 @dataclass(frozen=True)
+class PrescribedEnergyFlux(EnergyBC):
+    """Prescribed net inward energy flux fn(model, q, aux, t) [W/m^2]
+    (reference bc_energy.jl PrescribedEnergyFlux); first-order ghost is
+    insulating, the flux enters through the diffusive path."""
+    fn: object = 0.0
+
+
+@dataclass(frozen=True)
 class PrescribedTemperature(EnergyBC):
     """Dirichlet surface temperature T_sfc(t) (reference bc_energy.jl)."""
     T_sfc: float

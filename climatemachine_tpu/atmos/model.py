@@ -605,7 +605,7 @@ class AtmosModel(BalanceLaw):
             # moisture wall flux also carries mass and momentum
             # (reference bc_moisture.jl:48-52, :93-96)
             if isinstance(mo, abc.PrescribedMoistureFlux):
-                f_in = mo.fn(self, qM, auxM, t)
+                f_in = mo.fn(self, qM, auxM, t) * jnp.ones_like(rho)
             else:
                 q_sfc = mo.q_tot_sfc(t) if callable(mo.q_tot_sfc) \
                     else mo.q_tot_sfc
@@ -627,4 +627,11 @@ class AtmosModel(BalanceLaw):
                      + Phi)
             out = s.set(out, "rhoe",
                         rho * en.C_h * speed * (h - h_sfc))
+        elif isinstance(en, abc.PrescribedEnergyFlux):
+            # net inward flux (reference bc_energy.jl:58-64: −fn on the
+            # outward normal)
+            f_in = en.fn(self, qM, auxM, t) if callable(en.fn) else en.fn
+            out = s.set(out, "rhoe",
+                        s.get(out, "rhoe") - f_in
+                        * jnp.ones_like(self.prog(qM, "rho")))
         return out

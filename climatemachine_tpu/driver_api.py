@@ -20,10 +20,11 @@ from climatemachine_tpu.physics.temperature_profiles import (
 from climatemachine_tpu.atmos import (AtmosModel, AtmosPhysics, Coriolis,
                                       GeostrophicForcing, Gravity,
                                       HydrostaticState, RayleighSponge)
+from climatemachine_tpu.atmos.sources import Subsidence
 from climatemachine_tpu.atmos.boundaryconditions import (
     AtmosBC, BulkFormulaEnergy, BulkFormulaMoisture, DragLaw, FreeSlip,
     Impenetrable, Impermeable, InitStateBC, Insulating, NoSlip,
-    PrescribedMoistureFlux, PrescribedTemperature)
+    PrescribedEnergyFlux, PrescribedMoistureFlux, PrescribedTemperature)
 from climatemachine_tpu.atmos.compressibility import (Anelastic1D,
                                                       Compressible)
 from climatemachine_tpu.atmos.edmf import EDMF
