@@ -418,6 +418,13 @@ class AtmosModel(BalanceLaw):
             return un
         return un + td.soundspeed_air(self.param_set, T, pp)
 
+    def show_tendencies(self) -> str:
+        """Equation table of fluxes/sources per prognostic variable
+        (reference BalanceLaws show_tendencies)."""
+        from climatemachine_tpu.balance_laws.show_tendencies import \
+            show_tendencies
+        return show_tendencies(self)
+
     def column_ops(self, grid):
         """Cached per-grid ColumnOps (stack integrals)."""
         ops = self._column_ops_cache.get(id(grid))

@@ -154,3 +154,24 @@ def test_les_default_perturbations():
     assert np.allclose(up[:, 0, 0], expected, atol=1e-2)  # p3 interp error
     # temperature is horizontally uniform: prime ~ 0
     assert np.max(np.abs(vals["temp_prime"])) < 1e-8
+
+
+def test_show_tendencies_table():
+    """Equation-table introspection (reference show_tendencies.jl)."""
+    import numpy as np
+    from climatemachine_tpu.experiments.held_suarez import \
+        held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=2,
+                             dtype=np.float64)
+    table = cfg.model.show_tendencies()
+    assert "PressureGradient" in table
+    assert "Hyperdiffusion" in table
+    assert "HeldSuarezForcing" in table
+    assert "Gravity" in table
+    # sources are attributed to the right equations
+    rhou_row = [ln for ln in table.splitlines()
+                if ln.startswith("rhou")][0]
+    assert "Coriolis" in rhou_row
+    rho_row = [ln for ln in table.splitlines() if ln.startswith("rho ")][0]
+    assert "Coriolis" not in rho_row
