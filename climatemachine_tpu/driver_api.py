@@ -75,7 +75,9 @@ from climatemachine_tpu.driver.driver import SETTINGS, init, invoke
 from climatemachine_tpu.driver.solver_configs import (
     SolverConfiguration, make_solver_configuration)
 from climatemachine_tpu.driver.solver_types import (ExplicitSolverType,
-                                                    IMEXSolverType)
+                                                    IMEXSolverType,
+                                                    MISSolverType,
+                                                    MultirateSolverType)
 
 from climatemachine_tpu.ocean.hydrostatic_boussinesq import (
     HydrostaticBoussinesqModel)
