@@ -1,0 +1,30 @@
+"""Example scripts stay runnable (subprocess smoke with tiny budgets;
+the reference runs its tutorials in CI the same way)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CASES = [
+    ("examples/densitycurrent.py",
+     ["--timeend", "5", "--resolution", "400", "--platform", "cpu"]),
+    ("examples/agnesi_mountain.py",
+     ["--nel", "4", "1", "3", "--poly", "3", "--timeend", "10",
+      "--platform", "cpu"]),
+    ("examples/baroclinic_wave.py",
+     ["--n-horz", "2", "--n-vert", "2", "--poly", "3", "--timeend", "30",
+      "--platform", "cpu"]),
+]
+
+
+@pytest.mark.parametrize("script,args", CASES,
+                         ids=[c[0].split("/")[-1] for c in CASES])
+def test_example_runs(script, args):
+    r = subprocess.run([sys.executable, script] + args, cwd=ROOT,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "finite: True" in r.stdout or "max" in r.stdout, r.stdout[-500:]
