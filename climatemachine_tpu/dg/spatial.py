@@ -246,6 +246,9 @@ class DGModel:
                     self._pallas_volume = True
                     self._pallas_interpret = not on_tpu
 
+        # static tables for the rows-layout LDG path, keyed (n, faces[, nc])
+        self._rows_cache = {}
+
         # Var-major surface pass (dg/fast_surface.py): "varmajor" forces
         # it where supported; "auto" currently keeps the generic path
         # (flip after hardware measurement); "xla" disables.
@@ -253,14 +256,16 @@ class DGModel:
         if surface_kernel == "varmajor":
             from climatemachine_tpu.dg import fast_surface as _fs
             self._fast_surface = _fs.supports(self)
+            if self._fast_surface:
+                # build the host-side neighbor tables NOW, while the
+                # grid is concrete (inside jit it may be a traced pytree)
+                _fs._tables(self)
 
         bl = balance_law
         self.n_prognostic = bl.num_state(st.Prognostic())
         self.n_auxiliary = bl.num_state(st.Auxiliary())
         self.n_gradient = bl.num_state(st.Gradient())
         self.n_gradient_flux = bl.num_state(st.GradientFlux())
-        # static tables for the rows-layout LDG path, keyed (n, faces[, nc])
-        self._rows_cache = {}
 
     # --- face helpers -------------------------------------------------------
 
