@@ -42,6 +42,22 @@ def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_multihost(devices=None, axes=("dcn", "ici")) -> Mesh:
+    """2-D (hosts × chips-per-host) mesh for multi-host runs.
+
+    The element ring is laid out host-major, so the block partition's
+    ±1 ring neighbors are intra-host (ICI) everywhere except at host
+    boundaries — cross-DCN halo traffic is one face row per host pair
+    per offset (SURVEY §2.13 DCN layout)."""
+    devices = list(devices if devices is not None else jax.devices())
+    hosts = {}
+    for d in devices:
+        hosts.setdefault(getattr(d, "process_index", 0), []).append(d)
+    per = min(len(v) for v in hosts.values())
+    grid = np.asarray([v[:per] for _, v in sorted(hosts.items())])
+    return Mesh(grid, axes)
+
+
 @dataclass
 class _ShardGrid:
     """Per-shard grid view with the attrs the DG hot path reads."""
@@ -91,7 +107,11 @@ class ShardedDGModel:
                     else "allgather")
         self.inner = dg
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        # multi-axis meshes (e.g. ('dcn', 'ici')) shard the element axis
+        # over the row-major flattened device grid; collectives address
+        # the product axis by the tuple of names
+        self.axis = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+                     else tuple(mesh.axis_names))
         self.halo = halo
         ndev = mesh.devices.size
         g = dg.grid
