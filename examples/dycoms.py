@@ -26,6 +26,10 @@ def main():
     p.add_argument("--resolution", type=float, nargs=3,
                    default=(35.0, 35.0, 20.0))
     p.add_argument("--timeend", type=float, default=60.0)
+    p.add_argument("--diagnostics-every", type=int, default=0,
+                   help="write AtmosLESDefault NetCDF profiles every N "
+                        "steps (0 = off)")
+    p.add_argument("--out", default="/tmp/dycoms")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -98,7 +102,16 @@ def main():
     sc = cm.make_solver_configuration(0.0, args.timeend, dc,
                                       Courant_number=0.3)
     print(f"dt = {sc.dt:.3f} s, elements = {dc.grid.nelem}")
-    cm.invoke(sc)
+    cbs = []
+    if args.diagnostics_every:
+        from climatemachine_tpu.diagnostics.atmos_les import \
+            AtmosLESDefaultGroup
+        from climatemachine_tpu.io.writers import NetCDFWriter
+        grp = AtmosLESDefaultGroup(sc.dg, writer=NetCDFWriter(),
+                                   out_path=f"{args.out}_profiles.nc")
+        cbs.append(grp.make_callback(args.diagnostics_every))
+        print(f"AtmosLESDefault profiles -> {args.out}_profiles.nc")
+    cm.invoke(sc, user_callbacks=cbs)
 
     qliq = model.aux_get(sc.aux, "moisture.q_liq")
     w = model.prog(sc.q, "rhou")[..., 2] / model.prog(sc.q, "rho")
