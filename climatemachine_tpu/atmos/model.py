@@ -426,12 +426,20 @@ class AtmosModel(BalanceLaw):
         return show_tendencies(self)
 
     def column_ops(self, grid):
-        """Cached per-grid ColumnOps (stack integrals)."""
-        ops = self._column_ops_cache.get(id(grid))
-        if ops is None:
-            from climatemachine_tpu.dg.columns import ColumnOps
-            ops = ColumnOps(grid)
-            self._column_ops_cache[id(grid)] = ops
+        """Cached per-grid ColumnOps (stack integrals).  Keyed by id but
+        validated against a weakref so a recycled address for a new grid
+        never returns a stale operator."""
+        import weakref
+        ent = self._column_ops_cache.get(id(grid))
+        if ent is not None and ent[0]() is grid:
+            return ent[1]
+        from climatemachine_tpu.dg.columns import ColumnOps
+        ops = ColumnOps(grid)
+        try:
+            ref = weakref.ref(grid)
+        except TypeError:
+            ref = lambda: grid
+        self._column_ops_cache[id(grid)] = (ref, ops)
         return ops
 
     def update_auxiliary_state(self, grid, q, aux, t):

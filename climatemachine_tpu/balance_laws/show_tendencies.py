@@ -70,8 +70,8 @@ def show_tendencies(model) -> str:
     if ph.hyperdiffusion is not None:
         F2["rhou"].append("Hyperdiffusion")
         F2["rhoe"].append("Hyperdiffusion")
-        if "moisture" in names and getattr(ph.hyperdiffusion,
-                                           "moist", False):
+        gl_names = ph.hyperdiffusion.vars_gradient_laplacian().names()
+        if "moisture" in names and "q_tot" in gl_names:
             F2["moisture"].append("Hyperdiffusion")
 
     for src in model.sources:

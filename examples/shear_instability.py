@@ -49,8 +49,8 @@ def main():
                                 kappa_z=1e-4),
         rusanov_wave_speeds=dict(c_h=float(np.sqrt(9.81 * H)), c_z=1e-3))
 
-    vort0 = None
-    for hour in range(int(args.hours)):
+    nhours = max(int(round(args.hours)), 1)
+    for hour in range(nhours):
         model.solve(until=(hour + 1) * 3600.0)
         u = np.asarray(model.fields["u"])
         th = np.asarray(model.fields["theta"])

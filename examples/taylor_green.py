@@ -46,7 +46,8 @@ def main():
         w = jnp.zeros_like(u)
         T0, p0 = 300.0, ps.MSLP
         # pressure perturbation of the incompressible TG solution
-        dp = (1.0 / 16.0) * V0 ** 2 * (jnp.cos(2 * x) + jnp.cos(2 * y)) \
+        rho0 = p0 / (ps.R_d * T0)
+        dp = (rho0 / 16.0) * V0 ** 2 * (jnp.cos(2 * x) + jnp.cos(2 * y)) \
             * (jnp.cos(2 * z) + 2.0)
         rho = (p0 + dp) / (ps.R_d * T0)
         ke = 0.5 * (u ** 2 + v ** 2 + w ** 2)

@@ -15,15 +15,7 @@ from climatemachine_tpu.mesh.grid import min_node_distance
 from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
 
 
-def timeit(fn, *args, n=20, warm=3):
-    for _ in range(warm):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+from _bench_util import timeit  # noqa: E402
 
 
 def main():

@@ -86,11 +86,14 @@ def main():
     base = None
     rows = []
     for nd in ndevs:
-        nh = nh0 if args.mode == "strong" else nh0 * int(round(nd ** 0.5))
+        # weak mode grows the vertical so work per device stays constant
+        # (columns never split: needs 6*nh0^2 % nd == 0, checked below)
+        nh = nh0
+        nv = nv0 if args.mode == "strong" else nv0 * nd
         # keep whole columns per shard: 6*nh^2 must divide by nd
         if (6 * nh * nh) % nd:
             continue
-        pts, per_step = run(nd, nh, nv0, args.poly, args.steps, args.warm)
+        pts, per_step = run(nd, nh, nv, args.poly, args.steps, args.warm)
         thr = pts / per_step
         per_chip = thr / nd
         if base is None:
