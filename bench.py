@@ -108,7 +108,7 @@ if __name__ == "__main__":
         sys.exit(0)
     # the axon TPU tunnel is occasionally unavailable; retry before
     # giving up so an unattended bench run survives transient outages
-    for attempt in range(10):
+    for attempt in range(20):
         try:
             if _backend_ready():
                 break
@@ -116,6 +116,6 @@ if __name__ == "__main__":
             sys.stderr.write(f"probe failed: {e}\n")
         time.sleep(60)
     else:
-        sys.stderr.write("TPU backend unavailable after 10 attempts\n")
+        sys.stderr.write("TPU backend unavailable after 20 attempts\n")
         sys.exit(2)
     main()
