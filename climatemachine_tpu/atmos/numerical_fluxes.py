@@ -22,11 +22,54 @@ def _model_normal_flux(bl, nrm, q, aux, t):
     return jnp.einsum("...ci,...c->...i", F, nrm)
 
 
+def _roe_linear(bl, nrm, qM, auxM, qP, auxP, t):
+    """Roe flux for AtmosLinearModel: central flux + reference-state
+    acoustic dissipation (reference linear.jl:283-343)."""
+    a = bl.atmos
+    ps = bl.param_set
+    s = a.prog_spec
+    FM = bl.flux_first_order(qM, auxM, t)
+    FP = bl.flux_first_order(qP, auxP, t)
+    out = 0.5 * jnp.einsum("...ci,...c->...i", FM + FP, nrm)
+
+    def refs(aux):
+        ref_rho = a.aux_get(aux, "ref_state.rho")
+        ref_rhoe = a.aux_get(aux, "ref_state.rhoe")
+        ref_p = a.aux_get(aux, "ref_state.p")
+        ref_T = a.aux_get(aux, "ref_state.T")
+        h = (ref_rhoe + ref_p) / ref_rho
+        c = td.soundspeed_air(ps, ref_T)
+        return h, c
+
+    hM, cM = refs(auxM)
+    hP, cP = refs(auxP)
+    h = 0.5 * (hM + hP)
+    c = 0.5 * (cM + cP)
+    dpL = bl.linearized_pressure(qP, auxP) - bl.linearized_pressure(qM, auxM)
+    drhou_n = jnp.einsum("...i,...i->...",
+                         s.get(qP, "rhou") - s.get(qM, "rhou"), nrm)
+    out = s.set(out, "rho", s.get(out, "rho") - dpL / (2.0 * c))
+    out = s.set(out, "rhou",
+                s.get(out, "rhou")
+                - 0.5 * (c * drhou_n)[..., None] * nrm)
+    out = s.set(out, "rhoe", s.get(out, "rhoe") - h * dpL / (2.0 * c))
+    return out
+
+
+def _is_linear(bl):
+    # AtmosLinearModel shares the parent schema but has no prog_spec of
+    # its own; duck-typed to avoid an import cycle with atmos.linear.
+    return hasattr(bl, "linearized_pressure") and hasattr(bl, "atmos")
+
+
 class RoeNumericalFlux(NumericalFluxFirstOrder):
     """Roe flux with Roe-averaged wave decomposition (reference :353 +
-    AtmosModel.jl:1245)."""
+    AtmosModel.jl:1245); on an AtmosLinearModel reduces to central +
+    reference-state acoustic dissipation (reference linear.jl:283)."""
 
     def __call__(self, bl, nrm, qM, auxM, qP, auxP, t):
+        if _is_linear(bl):
+            return _roe_linear(bl, nrm, qM, auxM, qP, auxP, t)
         ps = bl.param_set
         s = bl.prog_spec
         gamma = ps.cp_d / ps.cv_d
@@ -108,9 +151,15 @@ class RoeNumericalFlux(NumericalFluxFirstOrder):
 
 
 class HLLCNumericalFlux(NumericalFluxFirstOrder):
-    """HLLC with Einfeldt wavespeed estimates (reference :373)."""
+    """HLLC with Einfeldt wavespeed estimates (reference :373); no
+    intermediate wave exists for AtmosLinearModel, so it simplifies to
+    Rusanov there (reference linear.jl:345-372)."""
 
     def __call__(self, bl, nrm, qM, auxM, qP, auxP, t):
+        if _is_linear(bl):
+            from climatemachine_tpu.dg.numerical_fluxes import (
+                RusanovNumericalFlux)
+            return RusanovNumericalFlux()(bl, nrm, qM, auxM, qP, auxP, t)
         ps = bl.param_set
         s = bl.prog_spec
         rhoM = s.get(qM, "rho")

@@ -213,7 +213,8 @@ class DGModel:
                  exchange=None,
                  remainder=None,
                  volume_kernel: str = "auto",
-                 surface_kernel: str = "auto"):
+                 surface_kernel: str = "auto",
+                 ldg_kernel: str = "auto"):
         self.balance_law = balance_law
         self.grid = grid
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
@@ -248,6 +249,10 @@ class DGModel:
 
         # static tables for the rows-layout LDG path, keyed (n, faces[, nc])
         self._rows_cache = {}
+        # rows-layout LDG gradient/divergence chain: "auto"/"rows" uses it
+        # on local grids, "legacy" forces the 4-D face-tensor path (for
+        # hardware A/Bs — the two differ only in layout, not math)
+        self._ldg_rows = ldg_kernel != "legacy"
 
         # Var-major surface pass (dg/fast_surface.py): "varmajor" forces
         # it where supported; "auto" currently keeps the generic path
@@ -457,7 +462,9 @@ class DGModel:
             g.normals.reshape(E * nface, Nfp * ncd), n, axis=1)
         S = np.kron(np.eye(Nfp, dtype=dt),
                     np.kron(np.ones((ncd, 1), dtype=dt), np.eye(n, dtype=dt)))
-        tab["S"] = jnp.asarray(S)              # [Nfp*ncd*n, Nfp*n]
+        tab["S"] = S                           # numpy [Nfp*ncd*n, Nfp*n]
+        # (kept as numpy in the cache: a jnp constant made under one
+        # trace leaks into later traces; converted at use)
         # boundary rows: neighbor is self, n⁺ = n⁻ (no sign flip)
         tab["nbr_sign"] = lambda: jnp.where(
             g.face_bctag.reshape(E * nface, 1) != 0,
@@ -493,12 +500,14 @@ class DGModel:
         key = ("Wmask", faces)
         mask = self._rows_cache.get(key)
         if mask is None:
-            m = np.zeros((g.nface * g.Nfp_max,), np.dtype(g.lift.dtype))
+            # cache NUMPY only: a jnp constant created under one jit trace
+            # is a tracer there, and reusing it from the cache in a second
+            # trace raises UnexpectedTracerError
+            mask = np.zeros((g.nface * g.Nfp_max,), np.dtype(g.lift.dtype))
             for f in faces:
-                m[f * g.Nfp_max:(f + 1) * g.Nfp_max] = 1
-            mask = jnp.asarray(m)
+                mask[f * g.Nfp_max:(f + 1) * g.Nfp_max] = 1
             self._rows_cache[key] = mask
-        Lz = g.lift * mask[None, :]
+        Lz = g.lift * jnp.asarray(mask)[None, :]
         return jnp.kron(Lz.T, jnp.eye(n, dtype=g.lift.dtype))
 
     def _perm_rows(self, x_rows, tab):
@@ -519,7 +528,8 @@ class DGModel:
         dims = direction_dims(direction, g.dim)
         faces = direction_faces(direction, g.dim)
         grad = strong_gradient(g, x, dims)
-        if g.face_nbr_row is not None and self.exchange is None:
+        if g.face_nbr_row is not None and self.exchange is None \
+                and self._ldg_rows:
             E, n = x.shape[0], x.shape[-1]
             ncd = g.normals.shape[-1]
             tab = self._ldg_rows_tables(n, ncd)
@@ -559,7 +569,8 @@ class DGModel:
             div = div + jnp.sum(g.xi_x[:, :, a, :, None] * dv[:, idx],
                                 axis=2)
         # interface central correction: n·(v* − v⁻) = 0.5 n·(vP − vM)
-        if g.face_nbr_row is not None and self.exchange is None:
+        if g.face_nbr_row is not None and self.exchange is None \
+                and self._ldg_rows:
             # SCALAR exchange in rows layout: each side computes
             # s = n·v with its OWN outward normal; the neighbor's value
             # enters as n⁻·vP = −s⁺ (watertight mesh), so only an
@@ -567,7 +578,7 @@ class DGModel:
             tab = self._ldg_rows_tables(n, nc)
             W = self._lift_rows_W(n, faces)
             rows_v = self._face_rows(vflat)            # [E*nf, Nfp*ncd*n]
-            s = jnp.matmul(rows_v * tab["nrm_lane"](), tab["S"],
+            s = jnp.matmul(rows_v * tab["nrm_lane"](), jnp.asarray(tab["S"]),
                            precision=_HI)              # [E*nf, Nfp*n]
             s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
             d = 0.5 * (tab["nbr_sign"]() * s_nbr - s)
@@ -610,7 +621,7 @@ class DGModel:
         tab = self._ldg_rows_tables(nq, F2.shape[2])
         W = self._lift_rows_W(nq, faces)
         rows_F2 = self._face_rows(F2.reshape(E, g.Np, -1))
-        s = jnp.matmul(rows_F2 * tab["nrm_lane"](), tab["S"],
+        s = jnp.matmul(rows_F2 * tab["nrm_lane"](), jnp.asarray(tab["S"]),
                        precision=_HI)                  # [E*nf, Nfp*nq]
         s_nbr = self._perm_rows(s[g.face_nbr_row.reshape(-1)], tab)
         interior = g.face_bctag.reshape(-1, 1) == 0
@@ -691,6 +702,7 @@ class DGModel:
         use_scalar_hyper = (hyper is not None and gf is None
                             and g.face_nbr_row is not None
                             and self.exchange is None
+                            and self._ldg_rows
                             and not getattr(bl, "has_boundary_flux_second_order",
                                             hasattr(bl, "boundary_flux_second_order")))
         nq, naux = q.shape[-1], aux.shape[-1]

@@ -18,6 +18,9 @@ CASES = [
     ("examples/baroclinic_wave.py",
      ["--n-horz", "2", "--n-vert", "2", "--poly", "3", "--timeend", "30",
       "--platform", "cpu"]),
+    ("examples/solid_body_rotation.py",
+     ["--n-horz", "3", "--n-vert", "3", "--poly", "3", "--timeend", "300",
+      "--platform", "cpu"]),
 ]
 
 

@@ -138,3 +138,25 @@ def test_scalar_hyper_face_flux_matches_generic():
 
     scale = float(jnp.max(jnp.abs(t2)))
     assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-12 * scale
+
+
+def test_rows_ldg_matches_legacy_and_retrace():
+    """ldg_kernel='legacy' (4-D face tensors) equals the rows path, and
+    the SAME DGModel can be traced by two different jits (regression:
+    cached jnp constants leaked tracers across traces)."""
+    import jax
+    import numpy as np
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=3,
+                             dtype=np.float64)
+    dg = DGModel(cfg.model, cfg.grid, ldg_kernel="rows")
+    q, aux = init_ode_state(dg)
+    t1, _ = jax.jit(lambda a, b: dg(a, b, 0.0))(q, aux)
+    # second, distinct trace of the same model object must not leak
+    t1b, _ = jax.jit(lambda a, b, t: dg(a, b, t))(q, aux, 0.0)
+    t2, _ = DGModel(cfg.model, cfg.grid, ldg_kernel="legacy")(q, aux, 0.0)
+    scale = float(jnp.max(jnp.abs(t2)))
+    assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-12 * scale
+    assert float(jnp.max(jnp.abs(t1b - t1))) == 0.0

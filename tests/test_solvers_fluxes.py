@@ -251,3 +251,48 @@ def test_moist_riemann_solvers(flux_name):
     scale = float(jnp.max(jnp.abs(wb))) + 1e-30
     tol = 0.7 if flux_name == 'lmars' else 0.25
     assert float(jnp.max(jnp.abs(wa - wb))) < tol * scale
+
+
+def test_roe_hllc_on_linear_model():
+    """Roe on AtmosLinearModel = central + ref-state acoustic dissipation
+    (reference linear.jl:283): consistent (qP=qM gives the exact normal
+    flux) and more dissipative than central for a jump; HLLC reduces to
+    Rusanov there (linear.jl:345)."""
+    import numpy as np
+    from climatemachine_tpu.atmos.linear import (
+        AtmosAcousticGravityLinearModel)
+    from climatemachine_tpu.atmos.numerical_fluxes import (
+        HLLCNumericalFlux, RoeNumericalFlux)
+    from climatemachine_tpu.dg.numerical_fluxes import RusanovNumericalFlux
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=3,
+                             dtype=np.float64)
+    dg = DGModel(cfg.model, cfg.grid)
+    q, aux = init_ode_state(dg)
+    lin = AtmosAcousticGravityLinearModel(cfg.model)
+    nodes = slice(0, 7)
+    qM = q[0:3, nodes]
+    auxM = aux[0:3, nodes]
+    nrm = jnp.zeros(qM.shape[:-1] + (3,)).at[..., 2].set(1.0)
+
+    roe = RoeNumericalFlux()
+    # consistency: zero jump -> exact normal flux
+    F = lin.flux_first_order(qM, auxM, 0.0)
+    exact = jnp.einsum("...ci,...c->...i", F, nrm)
+    got = roe(lin, nrm, qM, auxM, qM, auxM, 0.0)
+    assert float(jnp.max(jnp.abs(got - exact))) < 1e-9 * (
+        float(jnp.max(jnp.abs(exact))) + 1.0)
+
+    # a density jump is dissipated (differs from the central flux)
+    qP = qM.at[..., 0].mul(1.01)
+    central = 0.5 * (exact + jnp.einsum(
+        "...ci,...c->...i", lin.flux_first_order(qP, auxM, 0.0), nrm))
+    got2 = roe(lin, nrm, qM, auxM, qP, auxM, 0.0)
+    assert float(jnp.max(jnp.abs(got2 - central))) > 0.0
+
+    # HLLC on the linear model == Rusanov exactly
+    h = HLLCNumericalFlux()(lin, nrm, qM, auxM, qP, auxM, 0.0)
+    r = RusanovNumericalFlux()(lin, nrm, qM, auxM, qP, auxM, 0.0)
+    assert float(jnp.max(jnp.abs(h - r))) == 0.0
