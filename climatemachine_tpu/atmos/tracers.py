@@ -46,10 +46,13 @@ class NTracers(NoTracers):
         return len(self.delta_chi)
 
     def vars_prognostic(self) -> VarSpec:
-        return VarSpec(rhochi=self.N)
+        # (self.N,) not self.N: an int 1 would declare a SCALAR slot and
+        # break the [..., N]-shaped tracer math for a single tracer (the
+        # reference is SVector{N} even at N=1, tracers.jl:122)
+        return VarSpec(rhochi=(self.N,))
 
     def vars_gradient(self) -> VarSpec:
-        return VarSpec(chi=self.N)
+        return VarSpec(chi=(self.N,))
 
     def vars_gradient_flux(self) -> VarSpec:
         return VarSpec(d_chi=(3, self.N))

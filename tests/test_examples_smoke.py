@@ -31,3 +31,13 @@ def test_example_runs(script, args):
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "finite: True" in r.stdout or "max" in r.stdout, r.stdout[-500:]
+
+
+def test_schar_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/schar_scalar_advection.py",
+         "--nel", "6", "1", "5", "--poly", "3", "--timeend", "20",
+         "--platform", "cpu"],
+        cwd=ROOT, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "finite: True" in r.stdout
