@@ -36,6 +36,25 @@ from climatemachine_tpu.physics.parameters import EARTH, PlanetParameterSet
 from climatemachine_tpu.utils.variables import VarSpec
 
 
+def _bc_value(v, model, q, aux, t, speed=None):
+    """Resolve a bulk-BC coefficient: constants pass through; callables
+    may be f(t), f(model, q, aux, t), or f(model, q, aux, t, speed) —
+    the reference's fn_C_h(bl, state, aux, t, normPu_int) / varying-SST
+    surface functions (gcm_bcs.jl Varying_SST_TJ16)."""
+    if not callable(v):
+        return v
+    import inspect
+    try:
+        n = len(inspect.signature(v).parameters)
+    except (TypeError, ValueError):
+        n = 1
+    if n >= 5:
+        return v(model, q, aux, t, speed)
+    if n >= 4:
+        return v(model, q, aux, t)
+    return v(t)
+
+
 @dataclass(frozen=True)
 class AtmosPhysics:
     """Physics bundle (reference AtmosModel.jl:158 AtmosPhysics)."""
@@ -622,10 +641,10 @@ class AtmosModel(BalanceLaw):
             if isinstance(mo, abc.PrescribedMoistureFlux):
                 f_in = mo.fn(self, qM, auxM, t) * jnp.ones_like(rho)
             else:
-                q_sfc = mo.q_tot_sfc(t) if callable(mo.q_tot_sfc) \
-                    else mo.q_tot_sfc
+                q_sfc = _bc_value(mo.q_tot_sfc, self, qM, auxM, t)
+                C_q = _bc_value(mo.C_q, self, qM, auxM, t, speed)
                 q_int = self.prog(qM, "moisture.rhoq_tot") / rho
-                f_in = mo.C_q * rho * speed * (q_sfc - q_int)
+                f_in = C_q * rho * speed * (q_sfc - q_int)
             out = s.set(out, "moisture.rhoq_tot",
                         s.get(out, "moisture.rhoq_tot") - f_in)
             out = s.set(out, "rho", s.get(out, "rho") - f_in)
@@ -638,10 +657,12 @@ class AtmosModel(BalanceLaw):
             rhoe = self.prog(qM, "rhoe")
             h = (rhoe + p) / rho
             Phi = self.aux_get(auxM, "orientation.Phi")
-            h_sfc = (td.internal_energy(ps, en.T_sfc) + ps.R_d * en.T_sfc
+            T_sfc = _bc_value(en.T_sfc, self, qM, auxM, t)
+            C_h = _bc_value(en.C_h, self, qM, auxM, t, speed)
+            h_sfc = (td.internal_energy(ps, T_sfc) + ps.R_d * T_sfc
                      + Phi)
             out = s.set(out, "rhoe",
-                        rho * en.C_h * speed * (h - h_sfc))
+                        rho * C_h * speed * (h - h_sfc))
         elif isinstance(en, abc.PrescribedEnergyFlux):
             # net inward flux (reference bc_energy.jl:58-64: −fn on the
             # outward normal)

@@ -249,16 +249,22 @@ class DGModel:
 
         # static tables for the rows-layout LDG path, keyed (n, faces[, nc])
         self._rows_cache = {}
-        # rows-layout LDG gradient/divergence chain: "auto"/"rows" uses it
-        # on local grids, "legacy" forces the 4-D face-tensor path (for
-        # hardware A/Bs — the two differ only in layout, not math)
-        self._ldg_rows = ldg_kernel != "legacy"
+        # rows-layout LDG gradient/divergence chain: opt-in ("rows").
+        # Hardware A/B (HS p4, 12288 elems, TPU v5e): legacy 4-D chain
+        # 24.2 ms/RHS vs rows 35.3 — XLA lays out the wide rows matmuls
+        # worse than the predicted microbench win; the scalar n-dot-F2
+        # hyper face exchange (independent of this flag) keeps the win
+        # that DID materialize.
+        self._ldg_rows = ldg_kernel == "rows"
 
-        # Var-major surface pass (dg/fast_surface.py): "varmajor" forces
-        # it where supported; "auto" currently keeps the generic path
-        # (flip after hardware measurement); "xla" disables.
+        # Var-major surface pass (dg/fast_surface.py): "auto" uses it on
+        # TPU where supported (hardware A/B, HS p4/12k elems: RHS 58.0 ->
+        # 45.4 ms, step 284.6 -> 225.5); "varmajor" forces it (any
+        # backend); "xla" disables.
         self._fast_surface = False
-        if surface_kernel == "varmajor":
+        if surface_kernel == "varmajor" or (
+                surface_kernel == "auto"
+                and jax.default_backend() == "tpu"):
             from climatemachine_tpu.dg import fast_surface as _fs
             self._fast_surface = _fs.supports(self)
             if self._fast_surface:
@@ -702,7 +708,6 @@ class DGModel:
         use_scalar_hyper = (hyper is not None and gf is None
                             and g.face_nbr_row is not None
                             and self.exchange is None
-                            and self._ldg_rows
                             and not getattr(bl, "has_boundary_flux_second_order",
                                             hasattr(bl, "boundary_flux_second_order")))
         nq, naux = q.shape[-1], aux.shape[-1]
