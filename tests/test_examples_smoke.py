@@ -41,3 +41,13 @@ def test_schar_example_runs():
         cwd=ROOT, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "finite: True" in r.stdout
+
+
+def test_burgers_single_stack_example_runs():
+    r = subprocess.run(
+        [sys.executable, "examples/burgers_single_stack.py",
+         "--nelem", "6", "--poly", "3", "--timeend", "0.05",
+         "--platform", "cpu"],
+        cwd=ROOT, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "finite: True" in r.stdout
