@@ -45,14 +45,32 @@ def _bc_value(v, model, q, aux, t, speed=None):
         return v
     import inspect
     try:
-        n = len(inspect.signature(v).parameters)
+        params = list(inspect.signature(v).parameters.values())
+        # count only positional parameters without defaults; *args or
+        # defaulted extras must not change the dispatch arity
+        n = sum(1 for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.default is p.empty)
+        if any(p.kind is p.VAR_POSITIONAL for p in params):
+            n = 5
     except (TypeError, ValueError):
-        n = 1
-    if n >= 5:
-        return v(model, q, aux, t, speed)
-    if n >= 4:
-        return v(model, q, aux, t)
-    return v(t)
+        n = None
+    if n is not None:
+        if n >= 5:
+            return v(model, q, aux, t, speed)
+        if n >= 4:
+            return v(model, q, aux, t)
+        if n <= 1:
+            return v(t)
+    # uninspectable or ambiguous arity: try decreasing arity
+    for args in ((model, q, aux, t, speed), (model, q, aux, t), (t,)):
+        try:
+            return v(*args)
+        except TypeError:
+            continue
+    raise TypeError(
+        f"bulk-BC coefficient {v!r} must accept (t), (model, q, aux, t) "
+        "or (model, q, aux, t, speed)")
 
 
 @dataclass(frozen=True)

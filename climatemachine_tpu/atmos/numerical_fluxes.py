@@ -25,7 +25,15 @@ def _model_normal_flux(bl, nrm, q, aux, t):
 def _roe_linear(bl, nrm, qM, auxM, qP, auxP, t):
     """Roe flux for AtmosLinearModel: central flux + reference-state
     acoustic dissipation (reference linear.jl:283-343)."""
+    from climatemachine_tpu.atmos.moisture import DryModel
     a = bl.atmos
+    if not isinstance(a.physics.moisture, (type(None), DryModel)):
+        # reference linear.jl asserts moisture_model isa DryModel: extra
+        # prognostic components would get a purely central (dissipation-
+        # free) flux here, which is unstable for advected jumps
+        raise NotImplementedError(
+            "RoeNumericalFlux on AtmosLinearModel requires DryModel "
+            "moisture (reference linear.jl numerical_flux_first_order!)")
     ps = bl.param_set
     s = a.prog_spec
     FM = bl.flux_first_order(qM, auxM, t)

@@ -144,8 +144,11 @@ class VaryingSSTTJ16:
                           * (1.0 / T_sfc - 1.0 / ps.T_triple)))
 
 
-def parse_surface_flux(arg: Optional[str], moist: bool, C_drag: float = 1e-3):
-    """(reference gcm_bcs.jl parse_surface_flux_arg)"""
+def parse_surface_flux(arg: Optional[str], moist: bool,
+                       C_drag: float = EARTH.C_drag):
+    """(reference gcm_bcs.jl parse_surface_flux_arg; the bulk-transfer
+    coefficient comes from the planet parameter set — reference takes
+    C_drag(param_set) = 0.0044, not a hardcoded value)"""
     if arg in (None, "default"):
         return (AtmosBC(), AtmosBC())
     if arg == "bulk":
@@ -245,17 +248,23 @@ def gcm_driver_config(experiment: str = "heldsuarez",
     if hyperdiffusion_tau:
         hyper = (EquilMoistBiharmonic(hyperdiffusion_tau) if moist
                  else DryBiharmonic(hyperdiffusion_tau))
+    from climatemachine_tpu.common.turbulence import ConstantKinematicViscosity
     physics = AtmosPhysics(
         param_set=param_set,
         orientation=SphericalOrientation(),
         ref_state=HydrostaticState(
             DecayingTemperatureProfile(290.0, 220.0, 8e3)),
         moisture=EquilMoist() if moist else DryModel(),
+        # zero-viscosity closure so second-order boundary fluxes (bulk
+        # surface fluxes) take effect (reference GCMDriver.jl:180 sets
+        # turbulence=ConstantKinematicViscosity(0) for exactly this)
+        turbulence=ConstantKinematicViscosity(0.0),
         hyperdiffusion=hyper)
 
     problem = AtmosProblem(
         init_state=make_gcm_init(base, pert, mp),
-        boundary_conditions=parse_surface_flux(surface_flux, moist))
+        boundary_conditions=parse_surface_flux(
+            surface_flux, moist, C_drag=param_set.C_drag))
     model = AtmosModel(physics, problem, sources=sources_fn())
 
     a = param_set.planet_radius

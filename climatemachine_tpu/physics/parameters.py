@@ -59,6 +59,9 @@ class PlanetParameterSet:
     C_smag: float = 0.21
     Prandtl_turb: float = 1.0 / 3.0
 
+    # surface bulk-transfer coefficient (CLIMAParameters C_drag)
+    C_drag: float = 0.0044
+
     @property
     def inv_Pr_turb(self) -> float:
         return 1.0 / self.Prandtl_turb

@@ -36,7 +36,44 @@ def test_gcm_driver_combinations_run(exp, kw):
         t += dt
     assert bool(jnp.all(jnp.isfinite(q)))
     m1 = float(weightedsum(cfg.grid, q, 0))
-    assert abs(m1 - m0) / abs(m0) < 1e-12
+    if kw.get("surface_flux") == "bulk":
+        # bulk moisture surface flux deliberately carries mass
+        # (evaporation; reference bc_moisture.jl:94 fluxᵀn.ρ): total mass
+        # must CHANGE, but only by a tiny surface-flux amount
+        assert abs(m1 - m0) / abs(m0) > 1e-14
+        assert abs(m1 - m0) / abs(m0) < 1e-8
+    else:
+        assert abs(m1 - m0) / abs(m0) < 1e-12
+
+
+def test_bulk_surface_fluxes_are_nonzero():
+    """The bulk energy/moisture surface fluxes must actually act: with
+    surface_flux='bulk' the globally-integrated rhoe and rhoq_tot
+    tendencies pick up a nonzero wall flux, with 'default' (impenetrable
+    free-slip, insulating) they integrate to zero.  Guards the reference
+    requirement that a turbulence closure is configured so the
+    second-order boundary flux path is active (GCMDriver.jl:180)."""
+    tends = {}
+    for sf in ("bulk", "default"):
+        cfg = gcm_driver_config(experiment="baroclinic_wave", n_horz=3,
+                                n_vert=3, poly_order=3, surface_flux=sf,
+                                dtype=np.float64)
+        dg = DGModel(cfg.model, cfg.grid)
+        q, aux = init_ode_state(dg)
+        tend, _ = dg(q, aux, 0.0)
+        spec = cfg.model.prog_spec
+        tends[sf] = {
+            n: float(weightedsum(cfg.grid, tend,
+                                 spec.index(n).start))
+            for n in ("rhoe", "moisture.rhoq_tot")}
+        # scale for a relative comparison: integrated |state|
+        norm = {n: float(weightedsum(cfg.grid, jnp.abs(q),
+                                     spec.index(n).start))
+                for n in ("rhoe", "moisture.rhoq_tot")}
+    for n in ("rhoe", "moisture.rhoq_tot"):
+        assert abs(tends["default"][n]) < 1e-8 * norm[n]
+        assert abs(tends["bulk"][n]) > 1e3 * max(
+            abs(tends["default"][n]), 1e-300)
 
 
 def test_varying_sst_tj16_values():
