@@ -1,6 +1,14 @@
-"""Benchmark: Held-Suarez p4 DG grid-points/s per chip (BASELINE.md north
-star).  Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark: Held-Suarez p4 — the BASELINE.md north-star configuration.
+
+North star (BASELINE.md, reference experiments/AtmosGCM/heldsuarez.jl:234-240):
+IMEX ARK2GiraldoKellyConstantinescu + columnwise implicit solve, dt set by
+the HORIZONTAL acoustic Courant number (CFL 0.1, reference heldsuarez.jl:242),
+with the vertical acoustics handled implicitly by the block-tridiagonal
+columnwise solver (reference ManyColumnLU).  The explicit LSRK54 step is
+also measured for the time-compression comparison.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 Runs on whatever backend JAX selects (real TPU under the driver; set
 JAX_PLATFORMS=cpu for a local smoke run).  The reference publishes no
@@ -18,6 +26,21 @@ import time
 import numpy as np
 
 
+def _measure(step, q, aux, dt, nwarm, nsteps):
+    t = 0.0
+    for _ in range(nwarm):
+        q, aux = step(q, aux, t)
+        t += dt
+    q.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        q, aux = step(q, aux, t)
+        t += dt
+    q.block_until_ready()
+    wall = time.perf_counter() - t0
+    return wall, q, aux
+
+
 def main():
     import jax
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -28,6 +51,7 @@ def main():
     import jax.numpy as jnp
 
     from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.driver.solver_types import IMEXSolverType
     from climatemachine_tpu.experiments.held_suarez import held_suarez_config
     from climatemachine_tpu.mesh.grid import min_node_distance
     from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
@@ -37,35 +61,35 @@ def main():
     n_horz = 6 if on_cpu else 16
     n_vert = 4 if on_cpu else 8
     poly = 4
-    nsteps = 20 if on_cpu else 100
+    nsteps_ex = 20 if on_cpu else 100
+    nsteps_im = 6 if on_cpu else 50
     nwarm = 3 if on_cpu else 10
 
     cfg = held_suarez_config(n_horz=n_horz, n_vert=n_vert, poly_order=poly,
                              dtype=np.float32)
     dg = DGModel(cfg.model, cfg.grid)
-    q, aux = init_ode_state(dg)
-
-    dt = 0.3 * min_node_distance(cfg.grid) / 350.0
-    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
-    step = jax.jit(solver.step)
-
-    t = 0.0
-    for _ in range(nwarm):
-        q, aux = step(q, aux, t)
-        t += dt
-    q.block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        q, aux = step(q, aux, t)
-        t += dt
-    q.block_until_ready()
-    wall = time.perf_counter() - t0
-
-    assert bool(jnp.all(jnp.isfinite(q))), "bench produced non-finite state"
-
+    q0, aux0 = init_ode_state(dg)
     npoints = cfg.grid.nelem * cfg.grid.Np
-    gps = npoints * nsteps / wall
+
+    # --- explicit LSRK54 at the every-direction acoustic limit ------------
+    dt_ex = 0.3 * min_node_distance(cfg.grid) / 350.0
+    ex = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt_ex)
+    step_ex = jax.jit(ex.step)
+    wall_ex, q_ex, _ = _measure(step_ex, q0, aux0, dt_ex, nwarm, nsteps_ex)
+    assert bool(jnp.all(jnp.isfinite(q_ex))), "explicit bench non-finite"
+    gps_ex = npoints * nsteps_ex / wall_ex
+
+    # --- IMEX north star: dt from the HORIZONTAL acoustic CFL -------------
+    dt_im = 0.1 * min_node_distance(cfg.grid, "horizontal") / 350.0
+    imex = IMEXSolverType().make(dg, q0, aux0, dt_im)
+    # imex.step jits itself (factors enter as arguments, not constants)
+    wall_im, q_im, _ = _measure(imex.step, q0, aux0, dt_im, nwarm, nsteps_im)
+    assert bool(jnp.all(jnp.isfinite(q_im))), "IMEX bench non-finite"
+    gps_im = npoints * nsteps_im / wall_im
+
+    # simulated-seconds per wall-second: the end-to-end win of IMEX
+    rate_ex = dt_ex / (wall_ex / nsteps_ex)
+    rate_im = dt_im / (wall_im / nsteps_im)
 
     base = None
     if os.path.exists("BENCH_BASELINE.json"):
@@ -73,17 +97,31 @@ def main():
             base = json.load(open("BENCH_BASELINE.json")).get("value")
         except Exception:
             base = None
-    vs = (gps / base) if base else 1.0
+    vs = (gps_im / base) if base else 1.0
 
     print(json.dumps({
-        "metric": "held_suarez_p4_gridpoints_per_s_per_chip",
-        "value": round(gps, 1),
+        "metric": "held_suarez_p4_imex_gridpoints_per_s_per_chip",
+        "value": round(gps_im, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(vs, 3),
         "detail": {
             "n_horz": n_horz, "n_vert": n_vert, "poly": poly,
-            "gridpoints": npoints, "steps": nsteps,
-            "time_per_step_ms": round(1e3 * wall / nsteps, 3),
+            "gridpoints": npoints,
+            "imex": {
+                "solver": "ARK2GiraldoKellyConstantinescu+BlockTridiag",
+                "dt_s": round(dt_im, 4), "steps": nsteps_im,
+                "time_per_step_ms": round(1e3 * wall_im / nsteps_im, 3),
+                "gridpoints_per_s": round(gps_im, 1),
+                "sim_s_per_wall_s": round(rate_im, 1),
+            },
+            "explicit": {
+                "solver": "LSRK54",
+                "dt_s": round(dt_ex, 4), "steps": nsteps_ex,
+                "time_per_step_ms": round(1e3 * wall_ex / nsteps_ex, 3),
+                "gridpoints_per_s": round(gps_ex, 1),
+                "sim_s_per_wall_s": round(rate_ex, 1),
+            },
+            "imex_time_compression_vs_explicit": round(rate_im / rate_ex, 2),
             "platform": jax.devices()[0].platform,
             "dtype": "float32",
         },

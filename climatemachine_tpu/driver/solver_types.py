@@ -16,7 +16,8 @@ from climatemachine_tpu.dg.spatial import (DGModel, VERTICAL,
 from climatemachine_tpu.ode import ark as ark_mod
 from climatemachine_tpu.ode.lsrk import (LSRK54CarpenterKennedy,
                                          LSRK144NiegemannDiehlBusch)
-from climatemachine_tpu.solvers.columnwise import (ColumnLayout,
+from climatemachine_tpu.solvers.columnwise import (BlockTridiagColumnSolver,
+                                                   ColumnLayout,
                                                    ManyColumnSolver)
 
 
@@ -41,6 +42,9 @@ class IMEXSolverType:
     split-explicit-implicit remainder."""
     implicit_model: Callable = AtmosAcousticGravityLinearModel
     solver_method: Callable = ark_mod.ARK2GiraldoKellyConstantinescu
+    # "banded" = BlockTridiagColumnSolver (reference ManyColumnLU memory
+    # scaling, the default); "dense" = ManyColumnSolver small-grid oracle
+    columnwise_solver: str = "banded"
 
     def getdtmodel(self, bl):
         """Most restrictive dynamics are treated implicitly (reference
@@ -57,7 +61,9 @@ class IMEXSolverType:
                          exchange=dg.exchange)
 
         layout = ColumnLayout(grid, atmos.prog_spec.num)
-        col_solver = ManyColumnSolver(
+        solver_cls = {"banded": BlockTridiagColumnSolver,
+                      "dense": ManyColumnSolver}[self.columnwise_solver]
+        col_solver = solver_cls(
             lambda x: dg_lin(x, aux0, 0.0)[0], layout, q0)
 
         dg_rem = remainder_DGModel(dg, dg_lin)
@@ -78,6 +84,153 @@ class IMEXSolverType:
                          for i in range(solver.nstages)} - {0.0}):
             col_solver.prefactorize(g * dt)
         return solver
+
+
+class _NonlinearColumnSolver:
+    """Implicit-stage solver for a NONLINEAR vertical operator: solves
+    F(Q) = Q − α·dt·f_im(Q) − rhs = 0 by Jacobian-free Newton-Krylov
+    (reference NonLinearBackwardEulerSolver + JacobianFreeNewtonKrylovSolver
+    wired by HEVISolverType.jl:146-186)."""
+
+    def __init__(self, rhs_im, aux0, t0=0.0, n_newton=10, n_krylov=30,
+                 fd_eps=1e-10):
+        self.rhs_im = rhs_im
+        self.aux0 = aux0
+        self.t0 = t0
+        self.n_newton = n_newton
+        self.n_krylov = n_krylov
+        self.fd_eps = fd_eps
+
+    def solve(self, rhs, alpha_dt, factors=None):
+        from climatemachine_tpu.solvers.iterative import newton_krylov
+
+        def F(qq):
+            f, _ = self.rhs_im(qq, self.aux0, self.t0)
+            return qq - alpha_dt * f - rhs
+
+        x, _ = newton_krylov(F, rhs, n_newton=self.n_newton,
+                             n_krylov=self.n_krylov, fd_eps=self.fd_eps)
+        return x
+
+
+@dataclass
+class HEVISolverType:
+    """Horizontally-explicit vertically-implicit with the FULL (nonlinear)
+    vertical dynamics implicit (reference HEVISolverType.jl:54): the
+    implicit operator is the vertical-direction DG of the full balance
+    law (vdg, :137-147), solved per stage by JFNK + Krylov (:150-170),
+    with the explicit part the naive full − vertical split
+    (split_explicit_implicit = false, :179)."""
+    solver_method: Callable = ark_mod.ARK2ImplicitExplicitMidpoint
+    nonlinear_max_iterations: int = 10
+    linear_max_subspace_size: int = 30
+    nonlinear_eps: float = 1e-10
+
+    def getdtmodel(self, bl):
+        """Most restrictive dynamics are treated implicitly (reference
+        HEVISolverType.jl:104)."""
+        return bl
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        vdg = DGModel(dg.balance_law, dg.grid,
+                      numerical_flux_first_order=dg.nf1,
+                      direction=VERTICAL, update_aux=False,
+                      exchange=dg.exchange)
+
+        def rhs_ex(q, aux, t):
+            # naive split: explicit = full − vertical (reference
+            # split_explicit_implicit=false + NaiveVariant)
+            full, aux = dg(q, aux, t)
+            vert, _ = vdg(q, aux, t)
+            return full - vert, aux
+
+        def rhs_im(q, aux, t):
+            tend, _ = vdg(q, aux, t)
+            return tend, aux
+
+        col_solver = _NonlinearColumnSolver(
+            rhs_im, aux0, n_newton=self.nonlinear_max_iterations,
+            n_krylov=self.linear_max_subspace_size,
+            fd_eps=self.nonlinear_eps)
+        return self.solver_method(rhs_ex, rhs_im, col_solver, dt)
+
+
+class _BackwardEulerODESolver:
+    """Fully-implicit backward-Euler stepper on the complete model,
+    each step solved by JFNK (the reference reaches fully-implicit
+    stepping through the DiffEq bridge, ImplicitSolverType.jl:17; this
+    is the native equivalent)."""
+
+    def __init__(self, rhs, dt, n_newton=10, n_krylov=30):
+        self.rhs = rhs
+        self.dt = float(dt)
+        self.n_newton = n_newton
+        self.n_krylov = n_krylov
+        self.dt_fixed = True
+
+    def step(self, q, aux, t):
+        from climatemachine_tpu.solvers.iterative import newton_krylov
+        dt = self.dt
+
+        def F(qq):
+            f, _ = self.rhs(qq, aux, t + dt)
+            return qq - dt * f - q
+
+        q1, _ = newton_krylov(F, q, n_newton=self.n_newton,
+                              n_krylov=self.n_krylov)
+        _, aux1 = self.rhs(q1, aux, t + dt)
+        return q1, aux1
+
+
+@dataclass
+class ImplicitSolverType:
+    """Fully implicit time stepping (reference ImplicitSolverType.jl:17):
+    the complete model is advanced implicitly; dt is not limited by any
+    wavespeed, only accuracy."""
+    solver_method: Callable = _BackwardEulerODESolver
+    n_newton: int = 10
+    n_krylov: int = 30
+
+    def getdtmodel(self, bl):
+        """The entire model contributes to integrator stability
+        (reference ImplicitSolverType.jl:36-40)."""
+        return bl
+
+    def make(self, dg: DGModel, q0, aux0, dt: float):
+        return self.solver_method(lambda q, a, t: dg(q, a, t), dt,
+                                  n_newton=self.n_newton,
+                                  n_krylov=self.n_krylov)
+
+
+@dataclass
+class SplitExplicitSolverType:
+    """Ocean barotropic/baroclinic split-explicit strategy (reference
+    SplitExplicitSolverType.jl:18): slow 3-D method at dt_slow + fast
+    2-D method substepping at dt_fast.  ``make`` takes the 3-D and 2-D
+    DG models (the reference pulls dg_2D/Q_2D from dg_3D.modeldata,
+    :75-77)."""
+    dt_slow: float = 0.0
+    dt_fast: float = 0.0
+    slow_method: Callable = LSRK54CarpenterKennedy
+    fast_method: Callable = None     # default LS3NRK33Heuns
+
+    def getdtmodel(self, bl):
+        """Explicit: the full model restricts dt (reference :47-51)."""
+        return bl
+
+    def make(self, dg3: DGModel, dg2: DGModel, dt_slow: float = None,
+             dt_fast: float = None):
+        from climatemachine_tpu.ocean.split_explicit import \
+            SplitExplicitSolver
+        from climatemachine_tpu.ode.lsrk3n import LS3NRK33Heuns
+
+        dts = float(dt_slow if dt_slow is not None else self.dt_slow)
+        dtf = float(dt_fast if dt_fast is not None else self.dt_fast)
+        fast_method = self.fast_method or LS3NRK33Heuns
+        slow = self.slow_method(lambda a, b, t: dg3(a, b, t), dts)
+        fast = fast_method(lambda a, b, t: dg2(a, b, t), dtf)
+        return SplitExplicitSolver(slow, fast, dg3, dg2, dt=dts,
+                                   fast_dt=dtf)
 
 
 @dataclass

@@ -44,9 +44,32 @@ class AdditiveRungeKutta:
         self.C = np.asarray(C, dtype=np.float64)
         self.nstages = len(self.B)
         self.dt_fixed = True
+        # step() jits internally so the columnwise factors enter the
+        # compiled program as ARGUMENTS, not captured constants (at
+        # benchmark scale the factors are GBs; constant-laden HLO breaks
+        # the remote-compile path) — ode.solve honors this flag
+        self.jits_itself = True
+        self._jit_impl = None
+
+    def _factors(self):
+        """{γ: prefactorized (I−γ·dt·L) operator} pytree for the current
+        dt; eager (reference prefactorize / band_lu! once per dt)."""
+        if not hasattr(self.solver, "prefactorize"):
+            return None
+        out = {}
+        for i in range(self.nstages):
+            g = float(self.A_im[i, i])
+            if g and g not in out:
+                out[g] = self.solver.prefactorize(g * self.dt)
+        return out
 
     def step(self, q, aux, t):
-        dt = self.dt
+        if self._jit_impl is None:
+            import jax
+            self._jit_impl = jax.jit(self._step_impl)
+        return self._jit_impl(q, aux, t, self.dt, self._factors())
+
+    def _step_impl(self, q, aux, t, dt, factors):
         Fs, Gs = [], []
         Qi = q
         for i in range(self.nstages):
@@ -62,7 +85,12 @@ class AdditiveRungeKutta:
                         rhs = rhs + (dt * coef_i) * Gs[j]
                 gamma = self.A_im[i, i]
                 if gamma:
-                    Qi = self.solver.solve(rhs, gamma * dt)
+                    fac = None if factors is None else factors[float(gamma)]
+                    if fac is None:
+                        # plain-signature solver (no prefactorization)
+                        Qi = self.solver.solve(rhs, gamma * dt)
+                    else:
+                        Qi = self.solver.solve(rhs, gamma * dt, factors=fac)
                 else:
                     Qi = rhs
             F, aux = self.rhs_ex(Qi, aux, ti)

@@ -36,7 +36,15 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
     if numberofsteps is None:
         numberofsteps = int(math.ceil((timeend - t0) / dt - 1e-12))
 
-    jit_step = jax.jit(solver.step)
+    def _make_jit_step():
+        # solvers that thread large runtime state (columnwise factors)
+        # through their own inner jit must not be wrapped again — an
+        # outer jit would capture that state as constants
+        if getattr(solver, "jits_itself", False):
+            return solver.step
+        return jax.jit(solver.step)
+
+    jit_step = _make_jit_step()
 
     state = SolveState(q, aux, t0, 0)
     for cb in callbacks:
@@ -53,7 +61,7 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
             # Callbacks.jl:340 adapt_timestep): re-jit and re-derive the
             # remaining step count against timeend
             dt = solver.dt
-            jit_step = jax.jit(solver.step)
+            jit_step = _make_jit_step()
             numberofsteps = istep + int(
                 math.ceil((timeend - t) / dt - 1e-12))
         step_dt = dt
@@ -62,7 +70,7 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
             step_dt = timeend - t
             solver_dt = solver.dt
             solver.dt = step_dt
-            q, aux = jax.jit(solver.step)(state.q, state.aux, t)
+            q, aux = _make_jit_step()(state.q, state.aux, t)
             solver.dt = solver_dt
         else:
             q, aux = jit_step(state.q, state.aux, t)

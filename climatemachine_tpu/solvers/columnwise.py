@@ -1,4 +1,4 @@
-"""Columnwise implicit solver for HEVI vertical operators.
+"""Columnwise implicit solvers for HEVI vertical operators.
 
 Scope of reference ``src/Numerics/SystemSolvers/columnwise_lu_solver.jl``
 (ManyColumnLU :14, banded assembly :782-:821, band_lu/forward/back kernels
@@ -6,13 +6,21 @@ Scope of reference ``src/Numerics/SystemSolvers/columnwise_lu_solver.jl``
 vertical column (stacked-grid invariant), so the backward-Euler system is
 many small independent solves.
 
-TPU-first redesign: instead of a banded LU marched per column (sequential
-scans), the per-column operator is assembled **densely by basis probing**
-(Nv linear-operator applications at setup) and **inverted once per dt**;
-each implicit stage is then a single batched matvec ``[ncol, Nv, Nv] @
-[ncol, Nv]`` — an MXU einsum at full throughput.  Memory trades for
-speed: ncol·Nv² floats (the reference's banded factors are smaller but
-its triangular solves serialize).
+Two TPU-first designs:
+
+- ``BlockTridiagColumnSolver`` (the scalable default, reference parity
+  with ManyColumnLU's banded memory footprint): the first-order vertical
+  DG operator couples an element only to its two vertical neighbours, so
+  in (element, node, var) column ordering the matrix is block-tridiagonal
+  with block size nb = Nq_v·nvars.  Assembly probes the operator with a
+  period-3 element comb (3·nb applications instead of Nv); factor/solve
+  is a block-Thomas sweep of batched ``[ncol, nb, nb]`` MXU matmuls,
+  O(ncol·n_vert·nb²) memory — the banded-LU scaling of the reference.
+
+- ``ManyColumnSolver`` (dense; small-grid oracle): assembles the full
+  per-column matrix by Nv basis probes and inverts it once per dt; each
+  stage is one big batched matvec.  O(ncol·Nv²) memory — unusable at
+  benchmark scale, kept as the correctness oracle for parity tests.
 """
 
 from __future__ import annotations
@@ -53,6 +61,165 @@ class ColumnLayout:
         xb = xc.reshape(self.n_horz, Nq2, Nq1, self.n_vert, Nq3, self.nvars)
         xb = jnp.transpose(xb, (0, 3, 4, 1, 2, 5))   # [Eh, ev, k, j, i, v]
         return xb.reshape(self.n_horz * self.n_vert, self.Np, self.nvars)
+
+
+class BlockTridiagColumnSolver:
+    """Scalable columnwise solve of (I − α·dt·L) via block-Thomas
+    (reference ManyColumnLU / band_lu!/band_forward!/band_back!,
+    columnwise_lu_solver.jl:555-:821, at the same O(ncol·Nv·bw) memory).
+
+    ``op(q) -> Lq`` must be linear, column-local, and couple at most
+    adjacent vertical elements (any first-order vertical DG operator —
+    the AtmosLinearModel family).  A wider stencil is detected at setup
+    by a random-vector matvec check and raises.
+    """
+
+    def __init__(self, op: Callable, layout: ColumnLayout, example_q,
+                 check: bool = True):
+        self.layout = layout
+        self.op = op
+        lay = layout
+        nv = lay.n_vert
+        nb = lay.Nq[2] * lay.nvars      # block = one element's column slab
+        self.nb = nb
+        dtype = example_q.dtype
+
+        zero = jnp.zeros_like(example_q)
+        self.b_cols = lay.to_columns(op(zero))          # affine part
+
+        # Period-3 comb probing: a unit vector at within-block index m of
+        # every 3rd element; responses at element ev' disambiguate because
+        # at most one probed element lies in {ev'-1, ev', ev'+1}.
+        def probe(p):
+            r = p // nb
+            m = p % nb
+            ev = jnp.arange(nv)
+            col = jnp.where((ev[:, None] % 3 == r)
+                            & (jnp.arange(nb)[None, :] == m), 1.0,
+                            0.0).astype(dtype)          # [nv, nb]
+            qc = jnp.broadcast_to(col.reshape(lay.Nv), (lay.ncol, lay.Nv))
+            resp = lay.to_columns(op(lay.from_columns(qc))) - self.b_cols
+            return resp.reshape(lay.ncol, nv, nb)
+
+        R = jax.lax.map(probe, jnp.arange(3 * nb))       # [3nb, ncol, nv, nb]
+        R = R.reshape(3, nb, lay.ncol, nv, nb)
+        R = jnp.transpose(R, (0, 2, 3, 4, 1))            # [r, ncol, ev', row, m]
+
+        # route responses into lower/diag/upper blocks: source element for
+        # response row ev' under comb residue r is the unique ev in the
+        # window with ev % 3 == r (host-side index computation)
+        blocks = {}
+        for d in (-1, 0, 1):
+            rows = []
+            for ev in range(nv):
+                src = ev + d
+                if 0 <= src < nv:
+                    rows.append(R[src % 3, :, ev])
+                else:
+                    rows.append(jnp.zeros((lay.ncol, nb, nb), dtype=dtype))
+            blocks[d] = jnp.stack(rows, axis=1)          # [ncol, nv, nb, nb]
+        self.L, self.D, self.U = blocks[-1], blocks[0], blocks[1]
+        self._cached = {}
+
+        if check:
+            # a wider-than-tridiagonal stencil (e.g. a second-order
+            # implicit operator) would alias under the period-3 comb —
+            # verify with a random matvec
+            key = jax.random.PRNGKey(0)
+            x = jax.random.normal(key, example_q.shape, dtype=dtype)
+            got = self._matvec(lay.to_columns(x))
+            want = lay.to_columns(op(x)) - self.b_cols
+            scale = float(jnp.max(jnp.abs(want))) + 1e-300
+            tol = 1e-4 if dtype == jnp.float32 else 1e-10
+            err = float(jnp.max(jnp.abs(got - want)))
+            if err > tol * scale:
+                raise ValueError(
+                    "operator couples beyond adjacent vertical elements "
+                    f"(matvec residual {err:.3e} vs scale {scale:.3e}); "
+                    "use the dense ManyColumnSolver")
+
+    def _blk(self, xc):
+        return xc.reshape(self.layout.ncol, self.layout.n_vert, self.nb)
+
+    def _matvec(self, xc):
+        xb = self._blk(xc)
+        y = jnp.einsum("cvij,cvj->cvi", self.D, xb)
+        y = y.at[:, 1:].add(jnp.einsum("cvij,cvj->cvi",
+                                       self.L[:, 1:], xb[:, :-1]))
+        y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi",
+                                        self.U[:, :-1], xb[:, 1:]))
+        return y.reshape(self.layout.ncol, self.layout.Nv)
+
+    def _factor(self, alpha_dt: float):
+        """Block-Thomas factorization of M = I − α·dt·A (reference
+        band_lu_kernel!): store S⁻¹ (pivot-block inverses) and
+        C = S⁻¹·U' so each stage solve is two nv-step batched sweeps."""
+        nb = self.nb
+        eye = jnp.eye(nb, dtype=self.D.dtype)
+        Dm = eye[None, None] - alpha_dt * self.D         # [ncol, nv, nb, nb]
+        Lm = -alpha_dt * self.L
+        Um = -alpha_dt * self.U
+
+        def fwd(C_prev, ops):
+            Dk, Lk, Uk = ops
+            S = Dk - jnp.einsum("cij,cjk->cik", Lk, C_prev)
+            Sinv = jnp.linalg.inv(S)
+            C = jnp.einsum("cij,cjk->cik", Sinv, Uk)
+            return C, (Sinv, C)
+
+        C0 = jnp.zeros_like(Dm[:, 0])
+        _, (Sinv, C) = jax.lax.scan(
+            fwd, C0, (jnp.swapaxes(Dm, 0, 1), jnp.swapaxes(Lm, 0, 1),
+                      jnp.swapaxes(Um, 0, 1)))
+        # [nv, ncol, nb, nb] each
+        return Sinv, C, jnp.swapaxes(Lm, 0, 1)
+
+    def prefactorize(self, alpha_dt: float):
+        """Factor eagerly (outside jit) — ESDIRK tableaus reuse one γ·dt
+        for every stage so this runs once per dt (reference
+        prefactorize / band_lu!)."""
+        key = float(alpha_dt)
+        if key not in self._cached:
+            self._cached[key] = jax.tree.map(
+                lambda a: a.block_until_ready(), self._factor(alpha_dt))
+        return self._cached[key]
+
+    def solve(self, rhs, alpha_dt, factors=None):
+        """q s.t. (I − α·dt·L) q = rhs: block forward/back substitution
+        (reference band_forward_kernel!/band_back_kernel!).
+
+        Pass ``factors`` (from prefactorize) explicitly when calling
+        under jit so multi-GB factor arrays enter as arguments rather
+        than captured constants (the remote-compile path rejects huge
+        constant-laden HLO)."""
+        lay = self.layout
+        fac = factors
+        if fac is None:
+            fac = self._cached.get(float(alpha_dt))
+        if fac is None:
+            fac = self._factor(alpha_dt)
+        Sinv, C, Lm = fac
+        r = self._blk(lay.to_columns(rhs) + alpha_dt * self.b_cols)
+        rv = jnp.swapaxes(r, 0, 1)                       # [nv, ncol, nb]
+
+        def fwd(y_prev, ops):
+            Sinv_k, Lk, rk = ops
+            y = jnp.einsum("cij,cj->ci",
+                           Sinv_k, rk - jnp.einsum("cij,cj->ci", Lk, y_prev))
+            return y, y
+
+        y0 = jnp.zeros_like(rv[0])
+        _, ys = jax.lax.scan(fwd, y0, (Sinv, Lm, rv))
+
+        def bwd(x_next, ops):
+            Ck, yk = ops
+            x = yk - jnp.einsum("cij,cj->ci", Ck, x_next)
+            return x, x
+
+        _, xs = jax.lax.scan(bwd, jnp.zeros_like(ys[-1]), (C, ys),
+                             reverse=True)
+        qc = jnp.swapaxes(xs, 0, 1).reshape(lay.ncol, lay.Nv)
+        return lay.from_columns(qc)
 
 
 class ManyColumnSolver:
@@ -97,13 +264,16 @@ class ManyColumnSolver:
             self._cached[key] = self._factor(alpha_dt)
         return self._cached[key]
 
-    def solve(self, rhs, alpha_dt: float):
+    def solve(self, rhs, alpha_dt, factors=None):
         """q s.t. (I - α·dt·L) q = rhs: one batched MXU matvec.
 
-        Uses the eagerly-cached factorization when available; never caches
-        under trace (would leak tracers)."""
+        Uses ``factors`` if given (see BlockTridiagColumnSolver.solve),
+        else the eagerly-cached factorization when available; never
+        caches under trace (would leak tracers)."""
         lay = self.layout
-        Minv = self._cached.get(float(alpha_dt))
+        Minv = factors
+        if Minv is None:
+            Minv = self._cached.get(float(alpha_dt))
         if Minv is None:
             Minv = self._factor(alpha_dt)
         r = lay.to_columns(rhs) + alpha_dt * self.b_cols

@@ -13,7 +13,8 @@ from climatemachine_tpu.driver.solver_types import IMEXSolverType
 from climatemachine_tpu.experiments.held_suarez import held_suarez_config
 from climatemachine_tpu.mesh.grid import min_node_distance
 from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
-from climatemachine_tpu.solvers.columnwise import (ColumnLayout,
+from climatemachine_tpu.solvers.columnwise import (BlockTridiagColumnSolver,
+                                                   ColumnLayout,
                                                    ManyColumnSolver)
 
 
@@ -46,6 +47,53 @@ def test_columnwise_assembly_matches_operator():
     y = sol.solve(x, alpha)
     resid = y - alpha * op(y) - x
     assert float(jnp.max(jnp.abs(resid))) < 1e-9 * float(jnp.max(jnp.abs(x)))
+
+
+def test_block_tridiag_matches_dense_oracle():
+    """BlockTridiagColumnSolver (O(ncol·Nv·bw) memory, reference
+    ManyColumnLU scaling) reproduces the dense basis-probed inverse."""
+    cfg, dg, q, aux = _setup(n_horz=2, n_vert=4, poly=3)
+    lin = AtmosAcousticGravityLinearModel(cfg.model)
+    dg_lin = DGModel(lin, cfg.grid, direction=VERTICAL, update_aux=False)
+    lay = ColumnLayout(cfg.grid, cfg.model.prog_spec.num)
+    op = lambda x: dg_lin(x, aux, 0.0)[0]
+    dense = ManyColumnSolver(op, lay, q)
+    banded = BlockTridiagColumnSolver(op, lay, q)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(*q.shape))
+    # matvec parity: the extracted block-tridiagonal IS the operator
+    Ax_d = jnp.einsum("cij,cj->ci", dense.A, lay.to_columns(x))
+    Ax_b = banded._matvec(lay.to_columns(x))
+    scale = float(jnp.max(jnp.abs(Ax_d)))
+    assert float(jnp.max(jnp.abs(Ax_b - Ax_d))) < 1e-11 * scale
+
+    # solve parity at several shifts + backward-Euler residual
+    for alpha in (0.3, 2.0, 25.0):
+        y_d = dense.solve(x, alpha)
+        y_b = banded.solve(x, alpha)
+        s = float(jnp.max(jnp.abs(y_d)))
+        assert float(jnp.max(jnp.abs(y_b - y_d))) < 1e-9 * s, alpha
+        resid = y_b - alpha * op(y_b) - x
+        assert float(jnp.max(jnp.abs(resid))) < 1e-9 * float(
+            jnp.max(jnp.abs(x))), alpha
+
+
+def test_block_tridiag_rejects_wide_stencil():
+    """The setup matvec check catches operators coupling beyond adjacent
+    vertical elements (would silently alias under comb probing)."""
+    import pytest
+    cfg, dg, q, aux = _setup(n_horz=2, n_vert=4, poly=3)
+    lay = ColumnLayout(cfg.grid, cfg.model.prog_spec.num)
+
+    def wide(x):
+        # synthetic linear op coupling element ev to ev-2
+        xb = lay.to_columns(x).reshape(lay.ncol, lay.n_vert, -1)
+        yb = jnp.roll(xb, 2, axis=1)
+        return lay.from_columns(yb.reshape(lay.ncol, lay.Nv))
+
+    with pytest.raises(ValueError, match="beyond adjacent"):
+        BlockTridiagColumnSolver(wide, lay, q)
 
 
 def test_imex_matches_explicit():
