@@ -638,9 +638,18 @@ class DGModel:
 
     # --- full RHS -------------------------------------------------------------
 
+    def pre_stage(self, q, aux, t):
+        """State projection applied by the time integrators before every
+        RHS evaluation (``pre_stage=dg.pre_stage``), mirroring the
+        reference's in-place filter mutation of Q inside
+        update_auxiliary_state! (hydrostatic_boussinesq_model.jl:626-663).
+        The integrated state continues from the projected state, so
+        unresolved modes are actually removed rather than merely hidden
+        from the tendency."""
+        return self.balance_law.preprocess_state(self, q, aux, t)
+
     def __call__(self, q, aux, t):
         bl, g = self.balance_law, self.grid
-        q = bl.preprocess_state(self, q, aux, t)
         if self.update_aux:
             aux = bl.update_auxiliary_state(g, q, aux, t)
 

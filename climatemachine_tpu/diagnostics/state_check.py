@@ -22,8 +22,12 @@ STATS = ("min", "max", "mean", "std")
 
 def _stats(arr):
     a = np.asarray(arr, dtype=np.float64)
+    # ddof=1 matches the reference's Statistics.std convention
+    # (StateCheck.jl:275 sqrt(sum/(n-1))) so stats are comparable against
+    # the reference-shipped refvals tables bit-for-bit in definition
     return dict(min=float(a.min()), max=float(a.max()),
-                mean=float(a.mean()), std=float(a.std()))
+                mean=float(a.mean()),
+                std=float(a.std(ddof=1)) if a.size > 1 else 0.0)
 
 
 @dataclass

@@ -39,6 +39,7 @@ class Settings:
     checkpoint: str = "never"
     checkpoint_keep_one: bool = True
     checkpoint_at_end: bool = False
+    checkpoint_on_crash: bool = False
     checkpoint_dir: str = "checkpoint"
     restart_from_num: int = -1
     fix_rng_seed: bool = False
@@ -218,14 +219,36 @@ def invoke(solver_config, user_callbacks: Sequence = (),
     eng0 = float(norm(sc.dg.grid, sc.q))
     logger.info("starting: norm(Q) = %.16e", eng0)
 
+    # track the last completed step so a crash checkpoint captures the
+    # state AT the crash, not the initial condition (reference
+    # Driver.jl:828-839 checkpoint-on-crash from the catch block)
+    class _StateTracker:
+        state = None
+
+        def call(self, state):
+            type(self).state = state
+            return False
+
+    tracker = _StateTracker()
+    # first in the callback list: captures the step even when a later
+    # callback is what raises
+    callbacks.insert(0, tracker)
+
     try:
         state = solve(sc.q, sc.aux, sc.solver, sc.timeend, t0=sc.t0,
                       callbacks=callbacks)
     except Exception:
-        if SETTINGS.checkpoint_at_end:
+        # dedicated knob, decoupled from end-of-run checkpointing
+        # (reference Settings.checkpoint_on_crash)
+        if SETTINGS.checkpoint_on_crash:
             from climatemachine_tpu.driver import checkpoint as cp
-            cp.write_checkpoint(SETTINGS.checkpoint_dir, sc.name, 9999,
-                                sc.q, sc.aux, sc.t0, 0)
+            st = tracker.state
+            if st is not None:
+                cp.write_checkpoint(SETTINGS.checkpoint_dir, sc.name,
+                                    9999, st.q, st.aux, st.t, st.step)
+            else:
+                cp.write_checkpoint(SETTINGS.checkpoint_dir, sc.name,
+                                    9999, sc.q, sc.aux, sc.t0, 0)
         raise
 
     sc.q, sc.aux = state.q, state.aux

@@ -27,7 +27,11 @@ class ExplicitSolverType:
     solver_method: Callable = LSRK54CarpenterKennedy
 
     def make(self, dg: DGModel, q0, aux0, dt: float):
-        return self.solver_method(lambda q, a, t: dg(q, a, t), dt)
+        try:
+            return self.solver_method(lambda q, a, t: dg(q, a, t), dt,
+                                      pre_stage=dg.pre_stage)
+        except TypeError:
+            return self.solver_method(lambda q, a, t: dg(q, a, t), dt)
 
     def getdtmodel(self, bl):
         """Model with the most restrictive dt (reference
@@ -227,8 +231,10 @@ class SplitExplicitSolverType:
         dts = float(dt_slow if dt_slow is not None else self.dt_slow)
         dtf = float(dt_fast if dt_fast is not None else self.dt_fast)
         fast_method = self.fast_method or LS3NRK33Heuns
-        slow = self.slow_method(lambda a, b, t: dg3(a, b, t), dts)
-        fast = fast_method(lambda a, b, t: dg2(a, b, t), dtf)
+        slow = self.slow_method(lambda a, b, t: dg3(a, b, t), dts,
+                                pre_stage=dg3.pre_stage)
+        fast = fast_method(lambda a, b, t: dg2(a, b, t), dtf,
+                           pre_stage=dg2.pre_stage)
         return SplitExplicitSolver(slow, fast, dg3, dg2, dt=dts,
                                    fast_dt=dtf)
 

@@ -113,7 +113,10 @@ class HydrostaticBoussinesqModel(BalanceLaw):
         if key not in self._filters:
             from climatemachine_tpu.mesh.filters import (CutoffFilter,
                                                          ExponentialFilter)
-            Nv = grid.Nq[-1] - 1
+            # reference solver setup: CutoffFilter(grid, Nvert-1) with
+            # Nvert = vertical poly order N -> zero the top TWO modes
+            # (hydrostatic_spindown.jl:103, simple_box.jl config)
+            Nv = grid.Nq[-1] - 2
             self._filters[key] = (CutoffFilter(grid, Nc=Nv),
                                   ExponentialFilter(grid, Nc=1, s=8))
         return self._filters[key]

@@ -143,12 +143,15 @@ class HydrostaticBoussinesqSuperModel:
         self.dg = DGModel(self.equations, self.grid)
         self.state, self.aux = init_ode_state(self.dg)
         rhs = lambda q, aux, t: self.dg(q, aux, t)
+        pre = self.dg.pre_stage
         if timestepper == "LS3NRK33Heuns":
-            self.solver = lsrk3n.LS3NRK33Heuns(rhs, time_step)
+            self.solver = lsrk3n.LS3NRK33Heuns(rhs, time_step, pre_stage=pre)
         elif timestepper == "LS3NRK44Classic":
-            self.solver = lsrk3n.LS3NRK44Classic(rhs, time_step)
+            self.solver = lsrk3n.LS3NRK44Classic(rhs, time_step,
+                                                 pre_stage=pre)
         else:
-            self.solver = LSRK54CarpenterKennedy(rhs, time_step)
+            self.solver = LSRK54CarpenterKennedy(rhs, time_step,
+                                                 pre_stage=pre)
         self._jit_step = jax.jit(self.solver.step)
         self.time = 0.0
         self.step_count = 0

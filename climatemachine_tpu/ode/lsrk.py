@@ -23,9 +23,16 @@ import numpy as np
 
 
 class LowStorageRungeKutta2N:
-    """2N-storage RK: dQ = A_s dQ + dt f(Q); Q += B_s dQ."""
+    """2N-storage RK: dQ = A_s dQ + dt f(Q); Q += B_s dQ.
 
-    def __init__(self, rhs: Callable, dt: float, A, B, C):
+    ``pre_stage(q, aux, t) -> q`` mirrors the reference's in-place state
+    mutation at the start of every RHS evaluation (e.g. the ocean
+    models' vertical filters in update_auxiliary_state!,
+    hydrostatic_boussinesq_model.jl:626-663): the stage continues from
+    the PROJECTED state, exactly as the reference's mutated Q does.
+    """
+
+    def __init__(self, rhs: Callable, dt: float, A, B, C, pre_stage=None):
         self.rhs = rhs
         self.dt = float(dt)
         self.A = tuple(float(a) for a in A)
@@ -33,23 +40,28 @@ class LowStorageRungeKutta2N:
         self.C = tuple(float(c) for c in C)
         self.nstages = len(self.A)
         self.dt_fixed = True
+        self.pre_stage = pre_stage
 
     def step(self, q, aux, t):
         dt = self.dt
         dq = None
         for s in range(self.nstages):
-            tend, aux = self.rhs(q, aux, t + self.C[s] * dt)
+            ts = t + self.C[s] * dt
+            if self.pre_stage is not None:
+                q = self.pre_stage(q, aux, ts)
+            tend, aux = self.rhs(q, aux, ts)
             dq = tend if dq is None else self.A[s] * dq + tend
             q = q + (self.B[s] * dt) * dq
         return q, aux
 
 
-def LSRKEulerMethod(rhs, dt):
+def LSRKEulerMethod(rhs, dt, pre_stage=None):
     """Forward Euler in LSRK form (reference :247)."""
-    return LowStorageRungeKutta2N(rhs, dt, A=(0.0,), B=(1.0,), C=(0.0,))
+    return LowStorageRungeKutta2N(rhs, dt, A=(0.0,), B=(1.0,), C=(0.0,),
+                                  pre_stage=pre_stage)
 
 
-def LSRK54CarpenterKennedy(rhs, dt):
+def LSRK54CarpenterKennedy(rhs, dt, pre_stage=None):
     """5-stage 4th-order Carpenter-Kennedy (reference :293)."""
     A = (0.0,
          -567301805773.0 / 1357537059087.0,
@@ -66,10 +78,10 @@ def LSRK54CarpenterKennedy(rhs, dt):
          2526269341429.0 / 6820363962896.0,
          2006345519317.0 / 3224310063776.0,
          2802321613138.0 / 2924317926251.0)
-    return LowStorageRungeKutta2N(rhs, dt, A, B, C)
+    return LowStorageRungeKutta2N(rhs, dt, A, B, C, pre_stage=pre_stage)
 
 
-def LSRK144NiegemannDiehlBusch(rhs, dt):
+def LSRK144NiegemannDiehlBusch(rhs, dt, pre_stage=None):
     """14-stage 4th-order optimized-stability LSRK (reference :349)."""
     A = (0.0,
          -0.7188012108672410,
@@ -113,4 +125,4 @@ def LSRK144NiegemannDiehlBusch(rhs, dt):
          0.8604711817462826,
          0.8627060376969976,
          0.8734213127600976)
-    return LowStorageRungeKutta2N(rhs, dt, A, B, C)
+    return LowStorageRungeKutta2N(rhs, dt, A, B, C, pre_stage=pre_stage)

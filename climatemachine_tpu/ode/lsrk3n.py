@@ -18,7 +18,7 @@ import numpy as np
 class ExplicitRungeKutta:
     """Standard explicit RK from a Butcher tableau."""
 
-    def __init__(self, rhs, dt, A, b, c):
+    def __init__(self, rhs, dt, A, b, c, pre_stage=None):
         self.rhs = rhs
         self.dt = float(dt)
         self.A = np.asarray(A, dtype=np.float64)
@@ -26,6 +26,7 @@ class ExplicitRungeKutta:
         self.c = np.asarray(c, dtype=np.float64)
         self.nstages = len(self.b)
         self.dt_fixed = True
+        self.pre_stage = pre_stage
 
     def step(self, q, aux, t):
         dt = self.dt
@@ -35,7 +36,12 @@ class ExplicitRungeKutta:
             for j in range(i):
                 if self.A[i, j]:
                     qi = qi + (dt * self.A[i, j]) * ks[j]
-            k, aux = self.rhs(qi, aux, t + self.c[i] * dt)
+            ti = t + self.c[i] * dt
+            if self.pre_stage is not None:
+                # project the stage state (reference mutates Q at the
+                # start of every RHS evaluation)
+                qi = self.pre_stage(qi, aux, ti)
+            k, aux = self.rhs(qi, aux, ti)
             ks.append(k)
         out = q
         for i in range(self.nstages):
@@ -44,7 +50,7 @@ class ExplicitRungeKutta:
         return out, aux
 
 
-def LS3NRK44Classic(rhs, dt):
+def LS3NRK44Classic(rhs, dt, pre_stage=None):
     """Classical RK4 (reference :255)."""
     A = [[0, 0, 0, 0],
          [0.5, 0, 0, 0],
@@ -52,14 +58,14 @@ def LS3NRK44Classic(rhs, dt):
          [0, 0, 1.0, 0]]
     b = [1 / 6, 1 / 3, 1 / 3, 1 / 6]
     c = [0, 0.5, 0.5, 1.0]
-    return ExplicitRungeKutta(rhs, dt, A, b, c)
+    return ExplicitRungeKutta(rhs, dt, A, b, c, pre_stage=pre_stage)
 
 
-def LS3NRK33Heuns(rhs, dt):
+def LS3NRK33Heuns(rhs, dt, pre_stage=None):
     """Heun's third-order method (reference :307)."""
     A = [[0, 0, 0],
          [1 / 3, 0, 0],
          [0, 2 / 3, 0]]
     b = [0.25, 0.0, 0.75]
     c = [0, 1 / 3, 2 / 3]
-    return ExplicitRungeKutta(rhs, dt, A, b, c)
+    return ExplicitRungeKutta(rhs, dt, A, b, c, pre_stage=pre_stage)

@@ -39,7 +39,8 @@ def main():
     q, aux = init_ode_state(dg)
 
     dt = 240.0
-    solver = LS3NRK33Heuns(lambda a, b, t: dg(a, b, t), dt)
+    solver = LS3NRK33Heuns(lambda a, b, t: dg(a, b, t), dt,
+                           pre_stage=dg.pre_stage)
     step = jax.jit(solver.step)
     t, nsteps = 0.0, int(args.days * 86400 / dt)
     for i in range(nsteps):

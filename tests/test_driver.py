@@ -77,6 +77,44 @@ def test_les_config_end_to_end(tmp_path, caplog):
     assert step0 == 10 and q0.shape == np.asarray(sc.q).shape
 
 
+def test_checkpoint_on_crash(tmp_path):
+    """A crash mid-run writes a checkpoint of the last COMPLETED step
+    when checkpoint_on_crash is set, independently of checkpoint_at_end
+    (reference Driver.jl:828-839)."""
+    init(checkpoint_on_crash=True, checkpoint_at_end=False,
+         checkpoint_dir=str(tmp_path))
+    model = _les_model()
+    dc = AtmosLESConfiguration("crash", 3, (100.0, 100.0, 100.0),
+                               1000.0, 1000.0, 1000.0, model,
+                               dtype=np.float64)
+    sc = make_solver_configuration(0.0, 0.0, dc, ode_dt=0.05)
+    sc.timeend = 10 * sc.dt
+
+    class _Bomb:
+        def call(self, state):
+            if state.step >= 3:
+                raise RuntimeError("boom")
+            return False
+
+    with pytest.raises(RuntimeError, match="boom"):
+        invoke(sc, user_callbacks=(_Bomb(),))
+    q0, aux0, t0, step0 = cp.read_checkpoint(str(tmp_path), "crash", 9999)
+    assert step0 == 3
+    assert abs(t0 - 3 * sc.dt) < 1e-12
+    assert np.all(np.isfinite(q0))
+
+    # the knob is independent: with it off, a crash writes nothing
+    init(checkpoint_on_crash=False, checkpoint_at_end=False,
+         checkpoint_dir=str(tmp_path))
+    sc2 = make_solver_configuration(0.0, 0.0, dc, ode_dt=0.05)
+    sc2.timeend = 10 * sc2.dt
+    os.remove(cp.checkpoint_path(str(tmp_path), "crash", 9999))
+    with pytest.raises(RuntimeError, match="boom"):
+        invoke(sc2, user_callbacks=(_Bomb(),))
+    assert not os.path.exists(
+        cp.checkpoint_path(str(tmp_path), "crash", 9999))
+
+
 def test_checkpoint_restart_roundtrip(tmp_path):
     init()
     model = _les_model()

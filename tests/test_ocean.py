@@ -60,7 +60,8 @@ def test_shallow_water_spindown_matches_analytic():
 
     dt = 0.25 * min_node_distance(grid) / c
     nsteps = 200
-    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt,
+                                    pre_stage=dg.pre_stage)
     step = jax.jit(solver.step)
     q, t = q0, 0.0
     for _ in range(nsteps):
@@ -87,7 +88,8 @@ def test_hb_gyre_runs_stably():
     # gravity wave speed limits dt
     c = float(np.sqrt(9.81 * 1000.0))
     dt = 0.2 * min_node_distance(grid, "horizontal") / c
-    solver = LSRK144NiegemannDiehlBusch(lambda a, b, t: dg(a, b, t), dt)
+    solver = LSRK144NiegemannDiehlBusch(lambda a, b, t: dg(a, b, t), dt,
+                                        pre_stage=dg.pre_stage)
     step = jax.jit(solver.step)
     q, aux, t = q0, aux0, 0.0
     for _ in range(20):
