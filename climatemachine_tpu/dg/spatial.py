@@ -256,6 +256,12 @@ class DGModel:
         # hyper face exchange (independent of this flag) keeps the win
         # that DID materialize.
         self._ldg_rows = ldg_kernel == "rows"
+        # var-major LDG chain (dg/ldg_varmajor.py): every face tensor 2-D
+        # with the wide axis last; "auto" uses it where supported.
+        self._ldg_vm = False
+        if ldg_kernel in ("auto", "varmajor"):
+            from climatemachine_tpu.dg import ldg_varmajor as _lvm
+            self._ldg_vm = _lvm.supports(self)
 
         # Var-major surface pass (dg/fast_surface.py): "auto" uses it on
         # TPU where supported (hardware A/B, HS p4/12k elems: RHS 58.0 ->
@@ -612,6 +618,11 @@ class DGModel:
         bl = self.balance_law
         direction = getattr(bl, "hyperdiffusion_direction", None) \
             or self.diffusion_direction
+        if self._ldg_vm:
+            from climatemachine_tpu.dg import ldg_varmajor as _lvm
+            out = _lvm.hyper_chain(self, q, aux, t, direction)
+            if out is not None:
+                return out
         gl = bl.compute_gradient_laplacian_argument(q, aux, t)
         grad = self.dg_gradient_of(gl, direction)
         lap = self.dg_divergence_of(grad, direction)

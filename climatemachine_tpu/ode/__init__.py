@@ -10,3 +10,4 @@ from climatemachine_tpu.ode.mrigark import (
 )
 from climatemachine_tpu.ode.solve import solve
 from climatemachine_tpu.ode import callbacks
+from climatemachine_tpu.ode.external import DiffraxSolver, ExternalODESolver

@@ -30,6 +30,14 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+# TPU numerics: the block factorization/substitution matmuls MUST run at
+# full f32 (Precision.HIGHEST) — the platform default lowers f32 dots to
+# bf16 multiplies, and an implicit vertical-acoustic solve carrying ~1e-3
+# relative error destabilizes the IMEX step at benchmark scale (measured:
+# Held-Suarez p4 nh=16 blows up at step ~45 with default precision,
+# runs clean at HIGHEST).
+_HI = jax.lax.Precision.HIGHEST
+
 
 class ColumnLayout:
     """Maps grid state [E, Np, n] <-> column batch [ncol, Nv].
@@ -143,11 +151,11 @@ class BlockTridiagColumnSolver:
 
     def _matvec(self, xc):
         xb = self._blk(xc)
-        y = jnp.einsum("cvij,cvj->cvi", self.D, xb)
+        y = jnp.einsum("cvij,cvj->cvi", self.D, xb, precision=_HI)
         y = y.at[:, 1:].add(jnp.einsum("cvij,cvj->cvi",
-                                       self.L[:, 1:], xb[:, :-1]))
+                                       self.L[:, 1:], xb[:, :-1], precision=_HI))
         y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi",
-                                        self.U[:, :-1], xb[:, 1:]))
+                                        self.U[:, :-1], xb[:, 1:], precision=_HI))
         return y.reshape(self.layout.ncol, self.layout.Nv)
 
     def _factor(self, alpha_dt: float):
@@ -162,9 +170,9 @@ class BlockTridiagColumnSolver:
 
         def fwd(C_prev, ops):
             Dk, Lk, Uk = ops
-            S = Dk - jnp.einsum("cij,cjk->cik", Lk, C_prev)
+            S = Dk - jnp.einsum("cij,cjk->cik", Lk, C_prev, precision=_HI)
             Sinv = jnp.linalg.inv(S)
-            C = jnp.einsum("cij,cjk->cik", Sinv, Uk)
+            C = jnp.einsum("cij,cjk->cik", Sinv, Uk, precision=_HI)
             return C, (Sinv, C)
 
         C0 = jnp.zeros_like(Dm[:, 0])
@@ -205,7 +213,7 @@ class BlockTridiagColumnSolver:
         def fwd(y_prev, ops):
             Sinv_k, Lk, rk = ops
             y = jnp.einsum("cij,cj->ci",
-                           Sinv_k, rk - jnp.einsum("cij,cj->ci", Lk, y_prev))
+                           Sinv_k, rk - jnp.einsum("cij,cj->ci", Lk, y_prev), precision=_HI)
             return y, y
 
         y0 = jnp.zeros_like(rv[0])
@@ -213,7 +221,7 @@ class BlockTridiagColumnSolver:
 
         def bwd(x_next, ops):
             Ck, yk = ops
-            x = yk - jnp.einsum("cij,cj->ci", Ck, x_next)
+            x = yk - jnp.einsum("cij,cj->ci", Ck, x_next, precision=_HI)
             return x, x
 
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(ys[-1]), (C, ys),
@@ -277,5 +285,5 @@ class ManyColumnSolver:
         if Minv is None:
             Minv = self._factor(alpha_dt)
         r = lay.to_columns(rhs) + alpha_dt * self.b_cols
-        qc = jnp.einsum("cij,cj->ci", Minv, r)
+        qc = jnp.einsum("cij,cj->ci", Minv, r, precision=_HI)
         return lay.from_columns(qc)

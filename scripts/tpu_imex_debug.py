@@ -1,0 +1,52 @@
+"""Debug the IMEX north-star at benchmark scale on TPU: track where
+non-finite values first appear (per step, per field)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+if os.environ.get("F64"):
+    jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.driver.solver_types import IMEXSolverType
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+    from climatemachine_tpu.mesh.grid import min_node_distance
+
+    n_horz = int(os.environ.get("NH", "16"))
+    n_vert = int(os.environ.get("NV", "8"))
+    ldg = os.environ.get("LDG", "auto")
+    dtype = np.float64 if os.environ.get("F64") else np.float32
+    tau = float(os.environ.get("TAU", str(8 * 3600.0)))
+    cfg = held_suarez_config(n_horz=n_horz, n_vert=n_vert, poly_order=4,
+                             dtype=dtype, hyperdiffusion_tau=tau)
+    dg = DGModel(cfg.model, cfg.grid, ldg_kernel=ldg)
+    q, aux = init_ode_state(dg)
+    cfl = float(os.environ.get("CFL", "0.1"))
+    dt_im = cfl * float(min_node_distance(cfg.grid, "horizontal")) / 350.0
+    print(f"nh={n_horz} nv={n_vert} ldg={ldg} dtype={dtype.__name__} "
+          f"dt={dt_im:.2f}s", flush=True)
+    imex = IMEXSolverType().make(dg, q, aux, dt_im)
+
+    spec = cfg.model.prog_spec
+    t = 0.0
+    for i in range(int(os.environ.get("STEPS", "30"))):
+        q, aux = imex.step(q, aux, t)
+        t += dt_im
+        bad = [name for j, name in enumerate(spec.flattened_names())
+               if not bool(jnp.all(jnp.isfinite(q[..., j])))]
+        mx = float(jnp.max(jnp.abs(q)))
+        if i % 5 == 0 or bad or i > 40:
+            print(f"step {i:3d}: max|q| = {mx:.3e}  nonfinite: {bad}",
+                  flush=True)
+        if bad:
+            break
+
+
+if __name__ == "__main__":
+    main()
