@@ -93,14 +93,17 @@ class PrescribedEnergyFlux(EnergyBC):
 
 @dataclass(frozen=True)
 class PrescribedTemperature(EnergyBC):
-    """Dirichlet surface temperature T_sfc(t) (reference bc_energy.jl)."""
-    T_sfc: float
+    """Dirichlet surface temperature T_sfc (constant or callable of t,
+    reference bc_energy.jl PrescribedTemperature with a time-varying
+    surface, e.g. stable_bl_model.jl surface_temperature_variation)."""
+    T_sfc: object
 
     def ghost_rhoe(self, model, nrm, q, aux, rhou_ghost, t):
         ps = model.param_set
         rho = model.prog(q, "rho")
         Phi = model.aux_get(aux, "orientation.Phi")
-        e_int = ps.cv_d * (self.T_sfc - ps.T_0)
+        T = self.T_sfc(t) if callable(self.T_sfc) else self.T_sfc
+        e_int = ps.cv_d * (T - ps.T_0)
         ke = 0.5 * jnp.sum(rhou_ghost ** 2, axis=-1) / rho ** 2
         return rho * (e_int + ke + Phi)
 

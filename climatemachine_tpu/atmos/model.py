@@ -649,7 +649,10 @@ class AtmosModel(BalanceLaw):
         mom = bc.momentum
         drag = getattr(mom, "bc", mom)
         if isinstance(drag, abc.DragLaw):
-            Fm = (rho * drag.C_drag * speed)[..., None] * u_t
+            # C_drag may be a callable (reference DragLaw fn(state, aux,
+            # t, normPu_int), e.g. (u_star/|u|)^2 in stable_bl_model.jl)
+            C_d = _bc_value(drag.C_drag, self, qM, auxM, t, speed)
+            Fm = (rho * C_d * speed)[..., None] * u_t
             out = s.set(out, "rhou", Fm)
         mo = getattr(bc, "moisture", None)
         if self.physics.moisture.vars_prognostic().num and mo is not None \

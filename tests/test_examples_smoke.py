@@ -21,6 +21,17 @@ CASES = [
     ("examples/solid_body_rotation.py",
      ["--n-horz", "3", "--n-vert", "3", "--poly", "3", "--timeend", "300",
       "--platform", "cpu"]),
+    ("examples/stable_bl_les.py",
+     ["--timeend", "10", "--platform", "cpu"]),
+    ("examples/convective_bl_les.py",
+     ["--timeend", "10", "--domain", "800", "800", "800",
+      "--resolution", "100", "100", "100", "--platform", "cpu"]),
+    ("examples/surfacebubble.py",
+     ["--timeend", "10", "--domain", "800", "800", "800",
+      "--resolution", "100", "100", "100", "--platform", "cpu"]),
+    ("examples/rising_bubble_theta.py",
+     ["--timeend", "10", "--domain", "1000", "1000", "1000",
+      "--resolution", "125", "125", "125", "--platform", "cpu"]),
 ]
 
 
