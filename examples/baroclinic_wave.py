@@ -34,6 +34,10 @@ def main():
     p.add_argument("--timeend", type=float, default=3600.0)
     p.add_argument("--dry", action="store_true")
     p.add_argument("--cfl", type=float, default=0.3)
+    p.add_argument("--diagnostics-every", type=int, default=0,
+                   help="write the AtmosGCMDefault NetCDF group (full "
+                   "reference variable set on lat-lon-level) every N steps")
+    p.add_argument("--diagnostics-out", default="bcwave_gcm_default.nc")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -55,11 +59,36 @@ def main():
 
     step = jax.jit(LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t),
                                           dt).step)
+
+    group = None
+    if args.diagnostics_every:
+        from climatemachine_tpu.diagnostics.fields import \
+            AtmosGCMDefaultGroup
+        from climatemachine_tpu.io.writers import NetCDFWriter
+        from climatemachine_tpu.mesh.interpolation import \
+            InterpolationCubedSphere
+
+        a = cfg.model.param_set.planet_radius
+        H = 30e3
+        nlev = args.n_vert * (args.poly + 1)
+        lats = np.linspace(-89.0, 89.0, 46)
+        lons = np.linspace(-180.0, 178.0, 90)
+        rads = a + np.linspace(0.0, H, nlev + 1)[:-1] + H / (2 * nlev)
+        itp = InterpolationCubedSphere(cfg.grid, lats, lons, rads)
+        group = AtmosGCMDefaultGroup(dg, itp, writer=NetCDFWriter(),
+                                     out_path=args.diagnostics_out)
+
     m0 = float(weightedsum(cfg.grid, q, 0))
     t = 0.0
     for i in range(nsteps):
+        if group is not None and i % args.diagnostics_every == 0:
+            group.write(q, aux, t)
         q, aux = step(q, aux, t)
         t += dt
+    if group is not None:
+        group.write(q, aux, t)
+        print(f"AtmosGCMDefault NetCDF written to {args.diagnostics_out} "
+              f"({len(group.variables)} variables)")
     q.block_until_ready()
     m1 = float(weightedsum(cfg.grid, q, 0))
     u = q[..., 1:4] / q[..., :1]

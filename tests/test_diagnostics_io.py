@@ -203,5 +203,19 @@ def test_vorticity_diagnostic():
     group = DiagnosticsGroup("gcm_default", model, grid,
                              atmos_gcm_default_vars(model, dg))
     vals = group.collect(q0, aux)
-    assert "vort" in vals and "temp" in vals
+    # full reference variable list (atmos_gcm_default.jl
+    # vars_atmos_gcm_default_simple_3d, dry case)
+    assert set(vals) == {"u", "v", "w", "rho", "temp", "pres", "thd",
+                         "et", "ei", "ht", "hi", "vort", "vort2"}
     np.testing.assert_allclose(vals["vort"], expect, atol=5e-4)
+    # the element-local strong-form estimate agrees with the
+    # face-corrected LDG one on this smooth field
+    np.testing.assert_allclose(vals["vort2"], expect, atol=5e-3)
+    # thermodynamic identities: ht - et = hi - ei = R_d T
+    np.testing.assert_allclose(vals["ht"] - vals["et"],
+                               EARTH.R_d * vals["temp"], rtol=1e-12)
+    np.testing.assert_allclose(vals["hi"] - vals["ei"],
+                               EARTH.R_d * vals["temp"], rtol=1e-10)
+    np.testing.assert_allclose(
+        vals["thd"], vals["temp"] * (EARTH.MSLP / vals["pres"])
+        ** EARTH.kappa_d, rtol=1e-12)
