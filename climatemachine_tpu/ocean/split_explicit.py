@@ -134,13 +134,18 @@ class SplitExplicitSolver:
     """
 
     def __init__(self, slow_solver, fast_solver, dg3, dg2, dt=None,
-                 fast_dt=None):
+                 fast_dt=None, coupled=True):
         self.slow = slow_solver          # LSRK2N with rhs = dg3
         self.fast = fast_solver          # ExplicitRungeKutta with rhs = dg2
         self.dg3, self.dg2 = dg3, dg2
         self.dt = float(dt if dt is not None else slow_solver.dt)
         self.fast_dt = float(fast_dt if fast_dt is not None
                              else fast_solver.dt)
+        # Uncoupled runs the same double-RHS stage loop (matching the
+        # reference dostep!, which always evaluates the slow RHS twice and
+        # hence filters Q twice per stage) but skips the transfers
+        # (reference Communication.jl dispatches to no-ops for Uncoupled)
+        self.coupled = coupled
         self.cols = ColumnOps(dg3.grid)
         self.H = dg3.balance_law.problem.H
         self.dt_fixed = True
@@ -168,19 +173,33 @@ class SplitExplicitSolver:
         dt = self.dt
 
         dq3 = None
+        u_sl = m3.prog_spec.index("u")
         for s in range(slow.nstages):
             t_stage = t + slow.C[s] * dt
-            # initialize_states!: ΔGᵘ = 0
-            aux3 = m3.aux_spec.set(aux3, "dGu",
-                                   jnp.zeros_like(m3.aux_get(aux3, "dGu")))
-            # slow tendency (no accumulation) for the transfer
-            tend3, aux3 = self.dg3(q3, aux3, t_stage)
-            u_sl = m3.prog_spec.index("u")
-            int_du = self._col_total_2d(tend3[..., u_sl])      # [E2,Np2,2]
-            aux2 = m2.aux_spec.set(aux2, "GU", int_du)
-            aux3 = m3.aux_spec.set(aux3, "dGu",
-                                   -self._to_3d(int_du) / self.H)
-            # slow tendency with ΔGᵘ correction (2N accumulation)
+            if self.coupled:
+                # initialize_states!: ΔGᵘ = 0
+                aux3 = m3.aux_spec.set(
+                    aux3, "dGu", jnp.zeros_like(m3.aux_get(aux3, "dGu")))
+                # slow tendency (no accumulation) for the transfer; the
+                # reference RHS filters Q in place first
+                # (update_auxiliary_state!, hydrostatic_boussinesq_model
+                # .jl:637-663) — mirror that side effect via pre_stage
+                q3 = self.dg3.pre_stage(q3, aux3, t_stage)
+                tend3, aux3 = self.dg3(q3, aux3, t_stage)
+                int_du = self._col_total_2d(tend3[..., u_sl])  # [E2,Np2,2]
+                aux2 = m2.aux_spec.set(aux2, "GU", int_du)
+                aux3 = m3.aux_spec.set(aux3, "dGu",
+                                       -self._to_3d(int_du) / self.H)
+            else:
+                # reference evaluates the slow RHS here too (result
+                # discarded for Uncoupled); only its filter side effect
+                # on Q survives
+                q3 = self.dg3.pre_stage(q3, aux3, t_stage)
+            # slow tendency with ΔGᵘ correction (2N accumulation); the
+            # second RHS call filters Q again (the exponential θ filter
+            # is not idempotent, so this second application is part of
+            # the reference trajectory)
+            q3 = self.dg3.pre_stage(q3, aux3, t_stage)
             tend3, aux3 = self.dg3(q3, aux3, t_stage)
             dq3 = tend3 if dq3 is None else slow.A[s] * dq3 + tend3
 
@@ -199,12 +218,14 @@ class SplitExplicitSolver:
             # slow state update
             q3 = q3 + (slow.B[s] * dt) * dq3
 
-            # reconcile_from_fast_to_slow!
-            int_u = self._col_total_2d(q3[..., u_sl])
-            U2 = m2.prog(q2, "U")
-            du = (U2 - int_u) / self.H
-            q3 = q3.at[..., u_sl].add(self._to_3d(du))
-            eta2 = m2.prog(q2, "eta")[..., None]
-            eta3 = self._to_3d(eta2)[..., 0]
-            q3 = m3.prog_spec.set(q3, "eta", eta3)
+            if self.coupled:
+                # reconcile_from_fast_to_slow!
+                int_u = self._col_total_2d(q3[..., u_sl])
+                U2 = m2.prog(q2, "U")
+                du = (U2 - int_u) / self.H
+                aux2 = m2.aux_spec.set(aux2, "du", du)
+                q3 = q3.at[..., u_sl].add(self._to_3d(du))
+                eta2 = m2.prog(q2, "eta")[..., None]
+                eta3 = self._to_3d(eta2)[..., 0]
+                q3 = m3.prog_spec.set(q3, "eta", eta3)
         return (q3, q2), (aux3, aux2)
