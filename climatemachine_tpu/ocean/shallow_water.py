@@ -34,13 +34,17 @@ class ShallowWaterModel(BalanceLaw):
 
     def __init__(self, problem, param_set: PlanetParameterSet = EARTH,
                  turbulence=None, advection="nonlinear", c=0.0,
-                 coupling=None):
+                 coupling=None, f_o=1e-4, beta=1e-11):
         self.problem = problem
         self.param_set = param_set
         self.turbulence = turbulence or ConstantViscosity(0.0)
         self.advection = advection
         self.c = c
         self.coupling = coupling or oc.Uncoupled()
+        # beta-plane parameters consumed by problem.coriolis_parameter
+        # (reference ShallowWaterModel.jl fields fo/beta, simple_box
+        # coriolis_parameter m.fo + m.beta*y)
+        self.f_o, self.beta = f_o, beta
 
         self.ncoord = 2                      # 2-D barotropic model
         self.prog_spec = VarSpec(eta=1, U=2)

@@ -32,6 +32,12 @@ CASES = [
     ("examples/rising_bubble_theta.py",
      ["--timeend", "10", "--domain", "1000", "1000", "1000",
       "--resolution", "125", "125", "125", "--platform", "cpu"]),
+    ("examples/ocean_split_explicit_box.py",
+     ["--hours", "1.5", "--nx", "3", "--nz", "3", "--platform", "cpu"]),
+    ("examples/cfsite_amip.py",
+     ["--timeend", "10", "--domain", "600", "600", "1200",
+      "--resolution", "150", "150", "150", "--poly", "3",
+      "--platform", "cpu"]),
 ]
 
 
