@@ -36,6 +36,21 @@ class FVLinear:
     width = 1
 
 
+class HBFVReconstruction:
+    """Hydrostatic-balance-aware wrapper (reference
+    src/Atmos/Model/reconstructions.jl HBFVReconstruction): subtract the
+    local hydrostatic reference p_ref(z) (built by midpoint integration
+    of ρg across the stencil) from the PRESSURE primitive before the
+    base reconstruction, and extrapolate the face references
+    p_face = p_cell ± ρ g Δz/2 back on.  A well-balanced column then
+    reconstructs exactly constant deviations — the vertical pressure
+    gradient and gravity cancel to round-off even at polyorder 0."""
+
+    def __init__(self, model, recon=None):
+        self.model = model
+        self.recon = recon or FVLinear()
+
+
 def _minmod(a, b):
     return jnp.where(a * b > 0,
                      jnp.where(jnp.abs(a) < jnp.abs(b), a, b), 0.0)
@@ -71,7 +86,23 @@ class DGFVModel(DGModel):
         ps = prim.reshape(Eh, nv, H, n)
         h = (2.0 * g.JcV).reshape(Eh, nv, H, 1)           # cell thickness
 
+        hb = isinstance(self.reconstruction, HBFVReconstruction)
+        rgh = None
+        if hb:
+            # ρ g Δz/2 per cell; the deviation from the local hydrostatic
+            # reference between stacked neighbors is
+            # Δp + (ρgΔz/2)_i + (ρgΔz/2)_{i±1} (reference
+            # reconstructions.jl p⁻_ref/p⁺_ref accumulation)
+            m = self.reconstruction.model
+            sl_p = m.prog_spec.index("rhoe")
+            rho = ps[..., m.prog_spec.index("rho").start]
+            rgh = (0.5 * m.param_set.grav * rho[..., None]
+                   * h)                                    # [Eh, nv, H, 1]
+
         dp = ps[:, 1:] - ps[:, :-1]                       # [Eh, nv-1, H, n]
+        if hb:
+            dp = dp.at[..., sl_p].add(rgh[:, 1:, ..., 0, None]
+                                      + rgh[:, :-1, ..., 0, None])
         dz = 0.5 * (h[:, 1:] + h[:, :-1])
         sl = dp / dz
         if self._vert_periodic:
@@ -84,9 +115,17 @@ class DGFVModel(DGModel):
             slm = jnp.concatenate([zero, sl], axis=1)     # Δ⁻ per cell
             slp = jnp.concatenate([sl, zero], axis=1)     # Δ⁺ per cell
         slope = _minmod(slm, slp)
+        if hb and isinstance(self.reconstruction.recon, FVConstant):
+            slope = jnp.zeros_like(slope)
 
         p_bot = ps - 0.5 * h * slope
         p_top = ps + 0.5 * h * slope
+        if hb:
+            # add the hydrostatically-extrapolated face reference back
+            # (reference p_bot_ref/p_top_ref; bottom face is the high-
+            # pressure side)
+            p_bot = p_bot.at[..., sl_p].add(rgh)
+            p_top = p_top.at[..., sl_p].add(-rgh)
         to_q = (bl.primitive_to_prognostic
                 if hasattr(bl, "primitive_to_prognostic") else None)
         flat = lambda x: x.reshape(Eh * nv, H, n)

@@ -308,7 +308,15 @@ class DGModel:
         for s in sl:
             v = s.reshape(E, -1)                      # [E, Nfp_f*n]
             if v.shape[1] < X:
-                v = jnp.pad(v, ((0, 0), (0, X - v.shape[1])))
+                # mixed-order grids: faces have unequal Nfp, rows are
+                # padded to Nfp_max.  Pad by REPLICATING the face's
+                # first node (variable-aligned), not zeros: padded lanes
+                # have sM = 0 so they never contribute, but a zero STATE
+                # is unphysical (rho = 0) and numerical fluxes divide by
+                # it — NaN·0 from the lift would poison the tendency.
+                reps = (X - v.shape[1]) // n
+                v = jnp.concatenate([v, jnp.tile(v[:, :n], (1, reps))],
+                                    axis=1)
             out.append(v)
         return jnp.stack(out, axis=1).reshape(E * g.nface, X)
 

@@ -345,6 +345,17 @@ def min_node_distance(grid: Grid, direction: str = "every") -> float:
     md = np.inf
     for d in dims:
         axis = dim - d  # [E, slowest..fastest, coord]
+        if grid.Nq[d] == 1:
+            # FV direction (polyorder 0, one node per element): the node
+            # spacing is the cell pitch — distance between corresponding
+            # nodes of stack-adjacent elements (reference Grids.jl
+            # min_node_distance handles N=0 through the element extent)
+            if d == dim - 1 and grid.n_vert and grid.n_vert > 1:
+                cs = c.reshape((grid.n_horz, grid.n_vert) + c.shape[1:])
+                diff = np.diff(cs, axis=1)
+                dist = np.sqrt(np.sum(diff ** 2, axis=-1))
+                md = min(md, dist.min())
+            continue
         diff = np.diff(c, axis=axis)
         dist = np.sqrt(np.sum(diff ** 2, axis=-1))
         md = min(md, dist.min())
