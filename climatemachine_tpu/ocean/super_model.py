@@ -164,6 +164,16 @@ class HydrostaticBoussinesqSuperModel:
                     eta=s.get(self.state, "eta"),
                     theta=s.get(self.state, "theta"))
 
+    def cartesian_field(self, name):
+        """Structured Cartesian view of a prognostic field (reference
+        SpectralElementField over the SuperModel's RectangularDomain,
+        SuperModels.jl:204-211): ``.elements`` is [Nex,Ney,Nez,Nq,Nq,Nq],
+        ``.assemble()`` a continuous [nx,ny,nz] array."""
+        from climatemachine_tpu.common.cartesian_fields import \
+            SpectralElementField
+        f = self.fields[name]
+        return SpectralElementField(self.grid, f, Ne=self.domain.Ne)
+
     @property
     def dt(self):
         return self.solver.dt

@@ -34,6 +34,8 @@ CASES = [
       "--resolution", "125", "125", "125", "--platform", "cpu"]),
     ("examples/ocean_split_explicit_box.py",
      ["--hours", "1.5", "--nx", "3", "--nz", "3", "--platform", "cpu"]),
+    ("examples/richards_soil_water.py",
+     ["--hours", "0.02", "--equilibrium-steps", "10", "--platform", "cpu"]),
     ("examples/cfsite_amip.py",
      ["--timeend", "10", "--domain", "600", "600", "1200",
       "--resolution", "150", "150", "150", "--poly", "3",

@@ -145,3 +145,45 @@ def test_sharded_multihost_mesh_matches_single_device():
         err = float(jnp.max(jnp.abs(tend_sh - tend_ref)))
         scale = float(jnp.max(jnp.abs(tend_ref)))
         assert err < 1e-11 * max(scale, 1.0), halo
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Checkpoint of a sharded state saves per-shard data with global
+    element offsets and reassembles exactly — the multi-host write path
+    (VERDICT #8; reference per-rank JLD2, Checkpoint.jl:46-69) exercised
+    on the 2x4 virtual multihost mesh."""
+    from jax.sharding import Mesh
+
+    from climatemachine_tpu.driver import checkpoint as cp
+
+    r = [np.linspace(0, 1e3, 9), np.linspace(0, 1e3, 2),
+         np.linspace(0, 1e3, 3)]
+    topo = stacked_brick_topology(
+        r, periodicity=(True, True, False),
+        boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    grid = make_grid(topo, 3, dtype=np.float64)
+    model = _atmos(grid)
+    dg = DGModel(model, grid)
+    q, aux = init_ode_state(dg)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dcn", "ici"))
+    sdg = ShardedDGModel(dg, mesh)
+    qs, auxs = sdg.shard(q), sdg.shard(aux)
+
+    path = cp.write_checkpoint(str(tmp_path), "mh", 3, qs, auxs,
+                               t=12.5, step=7)
+    # the sharded array must have been written as shards, not dense
+    with np.load(path) as data:
+        assert "q__nshards" in data.files and int(data["q__nshards"]) > 1
+        assert "q" not in data.files
+
+    q2, aux2, t2, step2 = cp.read_checkpoint(str(tmp_path), "mh", 3)
+    np.testing.assert_array_equal(q2, np.asarray(q))
+    np.testing.assert_array_equal(aux2, np.asarray(aux))
+    assert t2 == 12.5 and step2 == 7
+
+    # restored state re-shards and steps identically to the original
+    q3 = sdg.shard(jnp.asarray(q2))
+    tend_a, _ = jax.jit(sdg)(qs, auxs, 0.0)
+    tend_b, _ = jax.jit(sdg)(q3, sdg.shard(jnp.asarray(aux2)), 0.0)
+    assert float(jnp.max(jnp.abs(tend_a - tend_b))) == 0.0
