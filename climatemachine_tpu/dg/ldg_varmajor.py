@@ -137,6 +137,15 @@ def _W_for(dg, dims):
         [g.Wgrad[a * g.Np:(a + 1) * g.Np, :] for a in dims], axis=0)
 
 
+def _Wcat_for(dg, tab, dims):
+    """Fused [Np, nd*Np + F] operator: derivative (Wgrad^T) and face
+    extraction (SelT) in ONE matmul, so each pass reads its state from
+    HBM once instead of twice.  Built from device grid arrays per trace
+    (constant-folded when the grid is concrete)."""
+    W = _W_for(dg, dims)                                   # [nd*Np, Np]
+    return jnp.concatenate([W.T, jnp.asarray(tab["SelT"])], axis=1)
+
+
 def _exchange(rows, tab, E, n, nfa, Nfp):
     """Neighbor face values: [E, n, F] -> [E, n, F]."""
     R2 = _rows_to_R2(rows, E, n, nfa, Nfp)
@@ -153,25 +162,26 @@ def grad_vm(dg, xv, tab, geom, dims):
     nfa, F = tab["nfa"], tab["F"]
     sM, nrm, xi, MI = geom
 
-    W = _W_for(dg, dims)                                   # [nd*Np, Np]
+    Wcat = _Wcat_for(dg, tab, dims)                        # [Np, nd*Np+F]
     xr = xv.reshape(E * n, Np)
-    d = jnp.matmul(xr, W.T, precision=_HI).reshape(E, n, nd, Np)
-
-    SelT = jnp.asarray(tab["SelT"])
-    rowsM = jnp.matmul(xr, SelT, precision=_HI).reshape(E, n, F)
+    cat = jnp.matmul(xr, Wcat, precision=_HI)
+    d = cat[:, :nd * Np].reshape(E, n, nd, Np)
+    rowsM = cat[:, nd * Np:].reshape(E, n, F)
     rowsP = _exchange(rowsM, tab, E, n, nfa, Nfp)
     dj = 0.5 * (rowsP - rowsM)                             # [E, n, F]
 
     LT = jnp.asarray(tab["LT"])
+    # all 3 components' face corrections ride ONE [E*3n, F] @ [F, Np]
+    w3 = sM * nrm                                          # [E, 3, F]
+    prod = w3[:, :, None, :] * dj[:, None, :, :]           # [E, 3, n, F]
+    corr = jnp.matmul(prod.reshape(E * 3 * n, F), LT,
+                      precision=_HI).reshape(E, 3, n, Np)
     out = []
     for c in range(3):
         vol = 0.0
         for ai, a in enumerate(dims):
             vol = vol + xi[:, ai, c][:, None, :] * d[:, :, ai, :]
-        w_c = sM * nrm[:, c][:, None, :]                   # [E, 1, F]
-        corr = jnp.matmul((w_c * dj).reshape(E * n, F), LT,
-                          precision=_HI).reshape(E, n, Np)
-        out.append(vol + MI * corr)
+        out.append(vol + MI * corr[:, c])
     return jnp.stack(out, axis=1)                          # [E, 3, n, Np]
 
 
@@ -185,16 +195,16 @@ def div_vm(dg, vv, tab, geom, dims):
     nfa, F = tab["nfa"], tab["F"]
     sM, nrm, xi, MI = geom
 
-    W = _W_for(dg, dims)
+    Wcat = _Wcat_for(dg, tab, dims)                        # [Np, nd*Np+F]
     vr = vv.reshape(E * 3 * n, Np)
-    dv = jnp.matmul(vr, W.T, precision=_HI).reshape(E, 3, n, nd, Np)
+    cat = jnp.matmul(vr, Wcat, precision=_HI)
+    dv = cat[:, :nd * Np].reshape(E, 3, n, nd, Np)
     div = 0.0
     for ai, a in enumerate(dims):
         for c in range(3):
             div = div + xi[:, ai, c][:, None, :] * dv[:, c, :, ai, :]
 
-    SelT = jnp.asarray(tab["SelT"])
-    rows3 = jnp.matmul(vr, SelT, precision=_HI).reshape(E, 3, n, F)
+    rows3 = cat[:, nd * Np:].reshape(E, 3, n, F)
     s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)        # [E, n, F]
     sP = _exchange(s, tab, E, n, nfa, Nfp)
     sign = jnp.asarray(tab["sign"])[:, None, :]            # [E, 1, F]
@@ -228,3 +238,39 @@ def hyper_chain(dg, q, aux, t, direction):
     grad_lap = grad_vm(dg, lap, tab, geom, dims)            # [E, 3, n, Np]
     out = grad_lap.transpose(0, 3, 1, 2)                    # [E, Np, 3, n]
     return bl.transform_post_gradient_laplacian(out, q, aux, t)
+
+
+def scalar_hyper_correction(dg, F2, faces):
+    """Var-major hyper-only second-order interface term (same math as
+    DGModel._scalar_hyper_correction, reference
+    dgsem_interface_tendency! second-order part for hyper-only configs):
+    each side contracts its volume F₂ with its OWN outward normal, the
+    neighbor's value enters as −s⁺, and the correction is masked to
+    interior faces.  Everything rides [E, nq, F] tiles + two MXU
+    matmuls — no [E·nface, Nfp·ncd·n] lane-expanded rows.
+
+    Returns the signed tendency contribution [E, Np, nq], or None when
+    the tables don't support this face set."""
+    from climatemachine_tpu.dg.spatial import direction_dims
+    g = dg.grid
+    E, Np, Nfp = g.nelem, g.Np, g.Nfp_max
+    nq = F2.shape[-1]
+    tab = _tables(dg, faces, nq)
+    if tab is None:
+        return None
+    nfa, F = tab["nfa"], tab["F"]
+    # geometry for the ACTIVE face set (dims unused here; pass full)
+    sM, nrm, _, _ = _geom(dg, faces, direction_dims("every", g.dim))
+
+    SelT = jnp.asarray(tab["SelT"])
+    Fv = F2.transpose(0, 2, 3, 1).reshape(E * 3 * nq, Np)  # [E·3·nq, Np]
+    rows3 = jnp.matmul(Fv, SelT, precision=_HI).reshape(E, 3, nq, F)
+    s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)        # [E, nq, F]
+    sP = _exchange(s, tab, E, nq, nfa, Nfp)
+    interior = (jnp.asarray(tab["sign"]) < 0)[:, None, :]  # [E, 1, F]
+    d2 = jnp.where(interior, 0.5 * (s - sP), 0.0)
+
+    LT = jnp.asarray(tab["LT"])
+    corr = jnp.matmul((sM * d2).reshape(E * nq, F), LT,
+                      precision=_HI).reshape(E, nq, Np)
+    return -(g.MI[:, None, :] * corr).transpose(0, 2, 1)

@@ -641,6 +641,11 @@ class DGModel:
         """Hyper-only second-order interface term via the scalar n·F₂
         rows exchange: returns the (signed) tendency contribution
         −M⁻¹ L (sM · 0.5(n·F₂M + n·F₂P)) masked to interior faces."""
+        if self._ldg_vm:
+            from climatemachine_tpu.dg import ldg_varmajor as _lvm
+            out = _lvm.scalar_hyper_correction(self, F2, faces)
+            if out is not None:
+                return out
         g = self.grid
         E, nq = q.shape[0], q.shape[-1]
         tab = self._ldg_rows_tables(nq, F2.shape[2])

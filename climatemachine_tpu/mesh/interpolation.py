@@ -60,6 +60,17 @@ class _TensorInterpolator:
         single = f.ndim == 2
         if single:
             f = f[..., None]
+        # multi-controller safety (reference gather-to-root,
+        # Interpolation.jl:304-313 MPI.Gatherv!): target points index
+        # arbitrary elements, so under multi-controller JAX the shards
+        # must first be gathered to every host.  Single-controller
+        # (including a single-host multi-device mesh) arrays are fully
+        # addressable and skip this.
+        if (hasattr(f, "is_fully_addressable")
+                and not f.is_fully_addressable):
+            from jax.experimental import multihost_utils
+            f = jnp.asarray(multihost_utils.process_allgather(
+                f, tiled=True))
         fe = f[self.elem]                                  # [P, Np, n]
         P = fe.shape[0]
         feb = fe.reshape((P,) + tuple(g.Nq[::-1]) + (f.shape[-1],))
