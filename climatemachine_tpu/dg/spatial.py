@@ -259,9 +259,15 @@ class DGModel:
         # var-major LDG chain (dg/ldg_varmajor.py): every face tensor 2-D
         # with the wide axis last; "auto" uses it where supported.
         self._ldg_vm = False
-        if ldg_kernel in ("auto", "varmajor"):
+        if ldg_kernel in ("auto", "varmajor", "pallas"):
             from climatemachine_tpu.dg import ldg_varmajor as _lvm
             self._ldg_vm = _lvm.supports(self)
+        # fused Pallas chain (dg/pallas_ldg.py): opt-in ("pallas");
+        # interpret mode off-TPU (parity testing)
+        self._ldg_pl = False
+        if ldg_kernel == "pallas" and self._ldg_vm:
+            self._ldg_pl = True
+            self._ldg_pl_interpret = jax.default_backend() != "tpu"
 
         # Var-major surface pass (dg/fast_surface.py): "auto" uses it on
         # TPU where supported (hardware A/B, HS p4/12k elems: RHS 58.0 ->
@@ -626,6 +632,12 @@ class DGModel:
         bl = self.balance_law
         direction = getattr(bl, "hyperdiffusion_direction", None) \
             or self.diffusion_direction
+        if self._ldg_pl:
+            from climatemachine_tpu.dg import pallas_ldg as _plg
+            out = _plg.hyper_chain(self, q, aux, t, direction,
+                                   interpret=self._ldg_pl_interpret)
+            if out is not None:
+                return out
         if self._ldg_vm:
             from climatemachine_tpu.dg import ldg_varmajor as _lvm
             out = _lvm.hyper_chain(self, q, aux, t, direction)

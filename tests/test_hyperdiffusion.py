@@ -162,6 +162,26 @@ def test_rows_ldg_matches_legacy_and_retrace():
     assert float(jnp.max(jnp.abs(t1b - t1))) == 0.0
 
 
+def test_pallas_ldg_matches_legacy():
+    """ldg_kernel='pallas' (dg/pallas_ldg.py: fused VMEM chain kernels,
+    interpret mode off-TPU) equals the legacy 4-D chain."""
+    import numpy as np
+    from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=3,
+                             dtype=np.float64)
+    dg = DGModel(cfg.model, cfg.grid, ldg_kernel="pallas")
+    assert dg._ldg_pl
+    q, aux = init_ode_state(dg)
+    key = jax.random.PRNGKey(3)
+    q = q * (1 + 1e-3 * jax.random.normal(key, q.shape))
+    t1, _ = jax.jit(lambda a, b: dg(a, b, 0.0))(q, aux)
+    t2, _ = DGModel(cfg.model, cfg.grid, ldg_kernel="legacy")(q, aux, 0.0)
+    scale = float(jnp.max(jnp.abs(t2)))
+    assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-12 * scale
+
+
 def test_varmajor_ldg_matches_legacy_and_retrace():
     """ldg_kernel='varmajor' (dg/ldg_varmajor.py: 2-D rows + MXU-matmul
     face operators) equals the legacy 4-D chain, on both the horizontal
