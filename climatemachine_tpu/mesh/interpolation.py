@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,7 +67,10 @@ class _TensorInterpolator:
         # must first be gathered to every host.  Single-controller
         # (including a single-host multi-device mesh) arrays are fully
         # addressable and skip this.
-        if (hasattr(f, "is_fully_addressable")
+        # Tracers (inside jit) have no committed sharding; the gather is
+        # only needed for concrete multi-controller arrays.
+        if (not isinstance(f, jax.core.Tracer)
+                and hasattr(f, "is_fully_addressable")
                 and not f.is_fully_addressable):
             from jax.experimental import multihost_utils
             f = jnp.asarray(multihost_utils.process_allgather(
