@@ -47,9 +47,31 @@ def supports(dg) -> bool:
         return False
     ph = bl.physics
     if not (g.dim == 3 and dg.direction == "every"
-            and dg.exchange is None and dg.remainder is None
-            and g.face_nbr_row is not None and g.face_perm_identity):
+            and g.face_perm_identity):
         return False
+    # single-device: static neighbor tables from face_nbr_row; sharded:
+    # an all-faces row halo must be provided (parallel/sharded.py)
+    all_faces = tuple(range(g.nface))
+    if dg.exchange is None and g.face_nbr_row is not None:
+        pass
+    elif all_faces in dg.row_halo:
+        pass
+    else:
+        return False
+    # fused remainder (IMEX explicit stage): the gathered face states and
+    # lift are identical; only the linear acoustic(-gravity) Rusanov flux
+    # is subtracted on the linear model's faces (reference remainder.jl:37)
+    if dg.remainder is not None:
+        from climatemachine_tpu.atmos.linear import (
+            AtmosAcousticGravityLinearModel, AtmosAcousticLinearModel)
+        lin, ldir = dg.remainder
+        if type(lin) not in (AtmosAcousticGravityLinearModel,
+                             AtmosAcousticLinearModel):
+            return False
+        if ldir not in ("vertical", "every"):
+            return False
+        if bl.ref_state is None:
+            return False
     if not (bl.prog_spec.num == 5 and isinstance(ph.moisture, DryModel)
             and not ph.energy.is_theta
             and not ph.compressibility.is_anelastic
@@ -81,6 +103,13 @@ def _tables(dg):
         return tab
     g = dg.grid
     E, nface = g.nelem, g.nface
+    if g.face_nbr_row is None:
+        # sharded: neighbor side rides the row halo; only the boundary
+        # mask is needed (face_bctag is np-static per shard pattern)
+        bnd = np.asarray(g.face_bctag) != 0
+        tab = {"bnd_lane": jnp.asarray(np.repeat(bnd, g.Nfp_max, axis=1))}
+        dg._rows_cache["fast_surface"] = tab
+        return tab
     nbr_row = np.asarray(g.face_nbr_row)          # [E, nface]
     nbr_e = nbr_row // nface
     nbr_f = nbr_row % nface
@@ -113,29 +142,42 @@ def surface_tendency(dg, q, aux, t):
 
     Phi = bl.aux_get(aux, "orientation.Phi")                 # [E, Np]
     subtract = bl.ref_state.subtract_off
-    p_ref = (bl.aux_get(aux, "ref_state.p") if subtract
+    rem = dg.remainder
+    p_ref = (bl.aux_get(aux, "ref_state.p") if (subtract or rem is not None)
              else jnp.zeros_like(Phi))
 
-    # var-major bundle [E, 7, Np]: 5 prognostic + Phi + p_ref
-    B = jnp.concatenate([q.transpose(0, 2, 1), Phi[:, None, :],
-                         p_ref[:, None, :]], axis=1)
+    # var-major bundle [E, nvb, Np]: 5 prognostic + Phi + p_ref
+    # (+ ref rhoe/rho/T for the remainder's linear flux subtraction)
+    parts = [q.transpose(0, 2, 1), Phi[:, None, :], p_ref[:, None, :]]
+    if rem is not None:
+        for name in ("rhoe", "rho", "T"):
+            parts.append(bl.aux_get(aux, "ref_state." + name)[:, None, :])
+    B = jnp.concatenate(parts, axis=1)
     nvb = B.shape[1]
     HI = jax.lax.Precision.HIGHEST
     # face extraction: one MXU matmul against the 0/1 lift matrix
     Bf = jnp.matmul(B.reshape(E * nvb, Np), g.lift,
                     precision=HI).reshape(E, nvb, X)
 
-    # neighbor side: per-face opposite-block slice + element row gather
-    blocks = []
-    for f in range(nface):
-        o = int(tab["opp"][f])
-        src = Bf[:, :, o * Nfp:(o + 1) * Nfp]
-        blk = src[tab["nbr_e"][f]]
-        for fsrc, rows, src_e in tab["fix"][f]:
-            fixed = Bf[src_e][:, :, fsrc * Nfp:(fsrc + 1) * Nfp]
-            blk = blk.at[rows].set(fixed)
-        blocks.append(blk)
-    BP = jnp.concatenate(blocks, axis=2)                     # [E, nvb, X]
+    halo = dg.row_halo.get(tuple(range(nface)))
+    if halo is not None:
+        # sharded: one row-space gather through the face-row halo
+        R2 = (Bf.reshape(E, nvb, nface, Nfp).transpose(0, 2, 1, 3)
+              .reshape(E * nface, nvb * Nfp))
+        BP = (halo.gather(R2).reshape(E, nface, nvb, Nfp)
+              .transpose(0, 2, 1, 3).reshape(E, nvb, X))
+    else:
+        # neighbor side: per-face opposite-block slice + element row gather
+        blocks = []
+        for f in range(nface):
+            o = int(tab["opp"][f])
+            src = Bf[:, :, o * Nfp:(o + 1) * Nfp]
+            blk = src[tab["nbr_e"][f]]
+            for fsrc, rows, src_e in tab["fix"][f]:
+                fixed = Bf[src_e][:, :, fsrc * Nfp:(fsrc + 1) * Nfp]
+                blk = blk.at[rows].set(fixed)
+            blocks.append(blk)
+        BP = jnp.concatenate(blocks, axis=2)                 # [E, nvb, X]
 
     # geometry in var-major lanes
     nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, X)
@@ -148,7 +190,7 @@ def surface_tendency(dg, q, aux, t):
     ghost = [BP[:, 0]]
     for c in range(3):
         ghost.append(BP[:, 1 + c] - 2 * run * nrm[:, c])
-    ghost = jnp.stack(ghost + [BP[:, 4], BP[:, 5], BP[:, 6]], axis=1)
+    ghost = jnp.stack(ghost + [BP[:, v] for v in range(4, nvb)], axis=1)
     # (on boundary faces the gathered neighbor IS the minus side)
     BP = jnp.where(bmask, ghost, BP)
 
@@ -178,6 +220,43 @@ def surface_tendency(dg, q, aux, t):
     fstar = jnp.stack([0.5 * (FnM[v] + FnP[v])
                        - 0.5 * c * (BP[:, v] - Bf[:, v])
                        for v in range(5)], axis=1)           # [E, 5, X]
+
+    if rem is not None:
+        # subtract the linear acoustic(-gravity) Rusanov flux on the
+        # linear model's faces — same gathered states, contiguous lane
+        # slice in the var-major X layout (reference remainder.jl:37;
+        # linear flux at linear.jl:54-67, wavespeed c(T_ref) :72-75)
+        from climatemachine_tpu.atmos.linear import \
+            AtmosAcousticGravityLinearModel
+        from climatemachine_tpu.dg.spatial import direction_faces
+        lin, ldir = rem
+        lfaces = direction_faces(ldir, 3)
+        sl = slice(lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp)
+        nrm_s = nrm[:, :, sl]
+        gravity = isinstance(lin, AtmosAcousticGravityLinearModel)
+
+        def flux_lin(Bs):
+            rho, ru1, ru2, ru3, rhoe, phi = (Bs[:, i, sl] for i in range(6))
+            p_r, rhoe_r, rho_r, T_r = (Bs[:, i, sl] for i in range(6, 10))
+            pL = rho * ps.R_d * ps.T_0 + ps.R_d / ps.cv_d * (rhoe - rho * phi)
+            coeff = (rhoe_r + p_r) / rho_r
+            if not gravity:
+                coeff = coeff - phi
+            un = (ru1 * nrm_s[:, 0] + ru2 * nrm_s[:, 1]
+                  + ru3 * nrm_s[:, 2])
+            Fn = (un, pL * nrm_s[:, 0], pL * nrm_s[:, 1],
+                  pL * nrm_s[:, 2], coeff * un)
+            cl = jnp.sqrt((ps.cp_d / ps.cv_d) * ps.R_d * T_r)
+            return Fn, cl
+
+        FnLM, cLM = flux_lin(Bf)
+        FnLP, cLP = flux_lin(BP)
+        cl = jnp.maximum(cLM, cLP)
+        fstar_lin = jnp.stack(
+            [0.5 * (FnLM[v] + FnLP[v])
+             - 0.5 * cl * (BP[:, v, sl] - Bf[:, v, sl])
+             for v in range(5)], axis=1)
+        fstar = fstar.at[:, :, sl].add(-fstar_lin)
 
     lifted = jnp.matmul((sM * fstar).reshape(E * 5, X), g.lift.T,
                         precision=HI).reshape(E, 5, Np)

@@ -33,9 +33,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 def supports(dg) -> bool:
     g = dg.grid
-    if dg.exchange is not None:
+    if dg.exchange is not None and not dg.row_halo:
+        # sharded grids stay on the var-major chain when a face-row halo
+        # is provided (parallel/sharded.py); node-space-only exchanges
+        # fall back to the generic path
         return False
-    if getattr(g, "face_nbr_row", None) is None:
+    if getattr(g, "face_nbr_row", None) is None and not dg.row_halo:
         return False
     if not g.face_perm_identity:
         return False
@@ -82,16 +85,21 @@ def _tables(dg, faces, n):
     # neighbor row ids in ACTIVE-face row space: row (e, j) -> neighbor's
     # active row.  Requires neighbors of active faces to be active faces
     # (true: horizontal pairs with horizontal on stacked topologies).
-    nbr_row = np.asarray(g.face_nbr_row).reshape(E, nface)
-    pos = -np.ones(nface, dtype=np.int64)
-    for j, f in enumerate(faces):
-        pos[f] = j
-    ne = nbr_row[:, list(faces)] // nface
-    nf = nbr_row[:, list(faces)] % nface
-    if (pos[nf] < 0).any():
-        cache[key] = None
-        return None
-    nbr_active = (ne * nfa + pos[nf]).astype(np.int32).reshape(-1)
+    # Sharded grids carry no local face_nbr_row; the neighbor map lives
+    # in the RowHalo instead (nbr_active=None).
+    if getattr(g, "face_nbr_row", None) is None:
+        nbr_active = None
+    else:
+        nbr_row = np.asarray(g.face_nbr_row).reshape(E, nface)
+        pos = -np.ones(nface, dtype=np.int64)
+        for j, f in enumerate(faces):
+            pos[f] = j
+        ne = nbr_row[:, list(faces)] // nface
+        nf = nbr_row[:, list(faces)] % nface
+        if (pos[nf] < 0).any():
+            cache[key] = None
+            return None
+        nbr_active = (ne * nfa + pos[nf]).astype(np.int32).reshape(-1)
 
     bctag = np.asarray(g.face_bctag)[:, list(faces)]      # [E, nfa]
     sign = np.where(bctag != 0, 1.0, -1.0).astype(dt)     # [E, nfa]
@@ -146,14 +154,19 @@ def _Wcat_for(dg, tab, dims):
     return jnp.concatenate([W.T, jnp.asarray(tab["SelT"])], axis=1)
 
 
-def _exchange(rows, tab, E, n, nfa, Nfp):
-    """Neighbor face values: [E, n, F] -> [E, n, F]."""
+def _exchange(rows, tab, E, n, nfa, Nfp, halo=None):
+    """Neighbor face values: [E, n, F] -> [E, n, F].  With ``halo``
+    (sharded runs) the rows ride the face-row collective and the
+    neighbor map indexes the extended row space."""
     R2 = _rows_to_R2(rows, E, n, nfa, Nfp)
-    nbr = R2[jnp.asarray(tab["nbr_active"])]
+    if halo is not None:
+        nbr = halo.gather(R2)
+    else:
+        nbr = R2[jnp.asarray(tab["nbr_active"])]
     return _R2_to_rows(nbr, E, n, nfa, Nfp)
 
 
-def grad_vm(dg, xv, tab, geom, dims):
+def grad_vm(dg, xv, tab, geom, dims, halo=None):
     """Var-major DG gradient: xv [E, n, Np] -> [E, 3, n, Np]."""
     g = dg.grid
     E, n, Np = xv.shape
@@ -167,7 +180,7 @@ def grad_vm(dg, xv, tab, geom, dims):
     cat = jnp.matmul(xr, Wcat, precision=_HI)
     d = cat[:, :nd * Np].reshape(E, n, nd, Np)
     rowsM = cat[:, nd * Np:].reshape(E, n, F)
-    rowsP = _exchange(rowsM, tab, E, n, nfa, Nfp)
+    rowsP = _exchange(rowsM, tab, E, n, nfa, Nfp, halo)
     dj = 0.5 * (rowsP - rowsM)                             # [E, n, F]
 
     LT = jnp.asarray(tab["LT"])
@@ -185,7 +198,7 @@ def grad_vm(dg, xv, tab, geom, dims):
     return jnp.stack(out, axis=1)                          # [E, 3, n, Np]
 
 
-def div_vm(dg, vv, tab, geom, dims):
+def div_vm(dg, vv, tab, geom, dims, halo=None):
     """Var-major DG divergence: vv [E, 3, n, Np] -> [E, n, Np] (scalar
     n·v face exchange: only an n-wide row rides the gather)."""
     g = dg.grid
@@ -206,7 +219,7 @@ def div_vm(dg, vv, tab, geom, dims):
 
     rows3 = cat[:, nd * Np:].reshape(E, 3, n, F)
     s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)        # [E, n, F]
-    sP = _exchange(s, tab, E, n, nfa, Nfp)
+    sP = _exchange(s, tab, E, n, nfa, Nfp, halo)
     sign = jnp.asarray(tab["sign"])[:, None, :]            # [E, 1, F]
     dj = 0.5 * (sign * sP - s)
 
@@ -227,15 +240,18 @@ def hyper_chain(dg, q, aux, t, direction):
 
     gl = bl.compute_gradient_laplacian_argument(q, aux, t)  # [E, Np, n]
     n = gl.shape[-1]
+    halo = dg.row_halo.get(faces)
+    if dg.exchange is not None and halo is None:
+        return None
     tab = _tables(dg, faces, n)
     if tab is None:
         return None
     geom = _geom(dg, faces, dims)
 
     xv = gl.transpose(0, 2, 1)                              # [E, n, Np]
-    grad = grad_vm(dg, xv, tab, geom, dims)                 # [E, 3, n, Np]
-    lap = div_vm(dg, grad, tab, geom, dims)                 # [E, n, Np]
-    grad_lap = grad_vm(dg, lap, tab, geom, dims)            # [E, 3, n, Np]
+    grad = grad_vm(dg, xv, tab, geom, dims, halo)           # [E, 3, n, Np]
+    lap = div_vm(dg, grad, tab, geom, dims, halo)           # [E, n, Np]
+    grad_lap = grad_vm(dg, lap, tab, geom, dims, halo)      # [E, 3, n, Np]
     out = grad_lap.transpose(0, 3, 1, 2)                    # [E, Np, 3, n]
     return bl.transform_post_gradient_laplacian(out, q, aux, t)
 
@@ -255,6 +271,9 @@ def scalar_hyper_correction(dg, F2, faces):
     g = dg.grid
     E, Np, Nfp = g.nelem, g.Np, g.Nfp_max
     nq = F2.shape[-1]
+    halo = dg.row_halo.get(tuple(faces))
+    if dg.exchange is not None and halo is None:
+        return None
     tab = _tables(dg, faces, nq)
     if tab is None:
         return None
@@ -266,7 +285,7 @@ def scalar_hyper_correction(dg, F2, faces):
     Fv = F2.transpose(0, 2, 3, 1).reshape(E * 3 * nq, Np)  # [E·3·nq, Np]
     rows3 = jnp.matmul(Fv, SelT, precision=_HI).reshape(E, 3, nq, F)
     s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)        # [E, nq, F]
-    sP = _exchange(s, tab, E, nq, nfa, Nfp)
+    sP = _exchange(s, tab, E, nq, nfa, Nfp, halo)
     interior = (jnp.asarray(tab["sign"]) < 0)[:, None, :]  # [E, 1, F]
     d2 = jnp.where(interior, 0.5 * (s - sP), 0.0)
 

@@ -31,8 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
-            out_ref, *, R_d, cv_d, T_0, subtract_ref):
+def _kernel(q_ref, phi_ref, pref_ref, ref3_ref, xi_ref, m_ref, mi_ref,
+            w_ref, out_ref, *, R_d, cv_d, T_0, subtract_ref, lin_dims,
+            lin_gravity):
     # blocks are var-major [TE, nvar, Np]: VMEM tiles pad (nvar->8,
     # Np->128) instead of the catastrophic trailing-variable padding
     rho = q_ref[:, 0, :]                 # [TE, Np]
@@ -53,6 +54,23 @@ def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
          (ru2, ru1 * u2, ru2 * u2 + p_eff, ru3 * u2, h * u2),
          (ru3, ru1 * u3, ru2 * u3, ru3 * u3 + p_eff, h * u3))
 
+    # fused remainder (reference remainder.jl:37): the linear
+    # acoustic(-gravity) flux is subtracted on its direction slots only
+    # — zero extra HBM traffic, all intermediates stay in VMEM
+    Flin = None
+    if lin_dims:
+        pL = rho * R_d * T_0 + (R_d / cv_d) * (rhoe - rho * phi)
+        rhoe_r = ref3_ref[:, 0, :]
+        rho_r = ref3_ref[:, 1, :]
+        p_r = ref3_ref[:, 2, :]
+        coeff = (rhoe_r + p_r) / rho_r
+        if not lin_gravity:
+            coeff = coeff - phi
+        zero = jnp.zeros_like(pL)
+        Flin = ((ru1, pL, zero, zero, coeff * ru1),
+                (ru2, zero, pL, zero, coeff * ru2),
+                (ru3, zero, zero, pL, coeff * ru3))
+
     m = m_ref[...]
     w = w_ref[...]                       # [Np, 3*Np]
     mi = mi_ref[...]
@@ -63,6 +81,10 @@ def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
             acc = xi_ref[:, 3 * a, :] * F[0][v]
             acc += xi_ref[:, 3 * a + 1, :] * F[1][v]
             acc += xi_ref[:, 3 * a + 2, :] * F[2][v]
+            if Flin is not None and a in lin_dims:
+                for i in range(3):
+                    if not (v in (1, 2, 3) and i != v - 1):
+                        acc -= xi_ref[:, 3 * a + i, :] * Flin[i][v]
             parts.append(m * acc)
         mf = jnp.concatenate(parts, axis=-1)
         div = jax.lax.dot_general(
@@ -74,16 +96,19 @@ def _kernel(q_ref, phi_ref, pref_ref, xi_ref, m_ref, mi_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=("R_d", "cv_d", "T_0",
                                              "block_e", "subtract_ref",
+                                             "lin_dims", "lin_gravity",
                                              "interpret"))
-def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
+def dry_volume_tendency(q, phi, p_ref, ref3, xi_x, M, MI, Wdiv,
                         R_d: float, cv_d: float, T_0: float,
                         block_e: int = 32, subtract_ref: bool = True,
+                        lin_dims: tuple = (), lin_gravity: bool = True,
                         interpret: bool = False):
     """Fused volume tendency for the dry-Euler balance law.
 
-    q [E, Np, 5], phi/p_ref/M/MI [E, Np], xi_x [E, Np, 9] (ξ_a,ᵢ at
+    q [E, Np, 5], phi/p_ref/M/MI [E, Np], ref3 [E, 3, Np] (ref rhoe/rho/p,
+    only read when lin_dims is non-empty), xi_x [E, Np, 9] (ξ_a,ᵢ at
     a*3+i), Wdiv [Np, 3*Np].  Returns tendency [E, Np, 5]
-    == MI · weak_divergence(M · ξ·F(q)).
+    == MI · weak_divergence(M · ξ·(F(q) − F_lin(q) on lin_dims)).
     """
     E, Np, n = q.shape
     assert n == 5
@@ -101,7 +126,8 @@ def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
         return (i, 0)
 
     kernel = functools.partial(_kernel, R_d=R_d, cv_d=cv_d, T_0=T_0,
-                               subtract_ref=subtract_ref)
+                               subtract_ref=subtract_ref,
+                               lin_dims=lin_dims, lin_gravity=lin_gravity)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -109,6 +135,7 @@ def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
             pl.BlockSpec((block_e, 5, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 3, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, 9, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
@@ -119,16 +146,27 @@ def dry_volume_tendency(q, phi, p_ref, xi_x, M, MI, Wdiv,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, 5, Np), q.dtype),
         interpret=interpret,
-    )(qt, phi, p_ref, xit, M, MI, Wdiv)
+    )(qt, phi, p_ref, ref3, xit, M, MI, Wdiv)
     return out.transpose(0, 2, 1)
 
 
-def supports(balance_law, grid, direction) -> bool:
+def supports(balance_law, grid, direction, remainder=None) -> bool:
     """True when the fused kernel covers this configuration."""
     from climatemachine_tpu.atmos.model import AtmosModel
     from climatemachine_tpu.atmos.moisture import DryModel
     if not isinstance(balance_law, AtmosModel):
         return False
+    if remainder is not None:
+        from climatemachine_tpu.atmos.linear import (
+            AtmosAcousticGravityLinearModel, AtmosAcousticLinearModel)
+        lin, ldir = remainder
+        if type(lin) not in (AtmosAcousticGravityLinearModel,
+                             AtmosAcousticLinearModel):
+            return False
+        if ldir not in ("vertical", "every", "horizontal"):
+            return False
+        if balance_law.ref_state is None:
+            return False
     ph = balance_law.physics
     return (grid.dim == 3 and direction == "every"
             and balance_law.prog_spec.num == 5
@@ -147,16 +185,30 @@ def volume_tendency_from_grid(dg, q, aux, interpret: bool = False,
     ps = bl.param_set
     phi = bl.aux_get(aux, "orientation.Phi")
     subtract = bl.ref_state.subtract_off
-    if subtract:
+    rem = dg.remainder
+    if subtract or rem is not None:
         p_ref = bl.aux_get(aux, "ref_state.p")
     else:
         p_ref = jnp.zeros_like(phi)
+    lin_dims, lin_gravity = (), True
+    if rem is not None:
+        from climatemachine_tpu.atmos.linear import \
+            AtmosAcousticGravityLinearModel
+        from climatemachine_tpu.dg.spatial import direction_dims
+        lin, ldir = rem
+        lin_dims = direction_dims(ldir, 3)
+        lin_gravity = isinstance(lin, AtmosAcousticGravityLinearModel)
+        ref3 = jnp.stack([bl.aux_get(aux, "ref_state.rhoe"),
+                          bl.aux_get(aux, "ref_state.rho"), p_ref], axis=1)
+    else:
+        ref3 = jnp.zeros((g.nelem, 3, g.Np), dtype=q.dtype)
     E = g.nelem
     be = block_e
     while E % be != 0:
         be //= 2
     xi = g.xi_x.reshape(E, g.Np, 9)
-    return dry_volume_tendency(q, phi, p_ref, xi, g.M, g.MI, g.Wdiv,
+    return dry_volume_tendency(q, phi, p_ref, ref3, xi, g.M, g.MI, g.Wdiv,
                                R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
                                block_e=be, subtract_ref=subtract,
+                               lin_dims=lin_dims, lin_gravity=lin_gravity,
                                interpret=interpret)

@@ -214,9 +214,21 @@ class DGModel:
                  remainder=None,
                  volume_kernel: str = "auto",
                  surface_kernel: str = "auto",
-                 ldg_kernel: str = "auto"):
+                 ldg_kernel: str = "auto",
+                 row_halo=None):
         self.balance_law = balance_law
         self.grid = grid
+        # kept so a sharding wrapper can clone this model with identical
+        # kernel selections inside shard_map
+        self.kernel_opts = dict(volume_kernel=volume_kernel,
+                                surface_kernel=surface_kernel,
+                                ldg_kernel=ldg_kernel)
+        # Sharded var-major face-ROW halo (parallel/sharded.py _RowHalo):
+        # {active_faces_tuple: halo} — lets the fast surface pass and the
+        # var-major LDG chain stay on under shard_map (the node-space
+        # ``exchange`` hook serves the generic paths).  halo.gather(R2)
+        # returns the neighbor row for every local active row.
+        self.row_halo = row_halo or {}
         self.nf1 = numerical_flux_first_order or RusanovNumericalFlux()
         self.nfg = numerical_flux_gradient or CentralNumericalFluxGradient()
         self.nf2 = numerical_flux_second_order or CentralNumericalFluxSecondOrder()
@@ -239,9 +251,9 @@ class DGModel:
         # (interpret mode off-TPU, for testing); "xla" disables.
         self._pallas_volume = False
         self._pallas_interpret = False
-        if volume_kernel in ("auto", "pallas") and remainder is None:
+        if volume_kernel in ("auto", "pallas"):
             from climatemachine_tpu.dg import pallas_volume as _pv
-            if _pv.supports(balance_law, grid, direction):
+            if _pv.supports(balance_law, grid, direction, remainder):
                 on_tpu = jax.default_backend() == "tpu"
                 if volume_kernel == "pallas" or on_tpu:
                     self._pallas_volume = True
@@ -706,12 +718,13 @@ class DGModel:
         # Pallas fused kernel covers the FIRST-ORDER part (flux + metric
         # contraction + weak divergence fully in VMEM); any second-order
         # flux rides the generic contraction on top.
-        use_pallas = (self._pallas_volume and gf is None
-                      and self.remainder is None)
+        use_pallas = self._pallas_volume and gf is None
         F2 = (bl.flux_second_order(q, gf, hyper, aux, t)
               if (gf is not None or hyper is not None) else None)
         tendency = None
         if use_pallas:
+            # remainder handled INSIDE the kernel (linear flux subtracted
+            # on its direction slots in VMEM — see pallas_volume._kernel)
             from climatemachine_tpu.dg import pallas_volume as _pv
             tendency = _pv.volume_tendency_from_grid(
                 self, q, aux, interpret=self._pallas_interpret)
@@ -722,7 +735,7 @@ class DGModel:
                 F = F + F2
         # F: [E, Np, ncoord, n]; F_xi[a] = xi_a,x_i F_i
         F_xi = contract_flux_metric(g, F, dims) if F is not None else None
-        if self.remainder is not None:
+        if self.remainder is not None and not use_pallas:
             lin, ldir = self.remainder
             ldims = direction_dims(ldir, g.dim)
             F_lin = lin.flux_first_order(q, aux, t)
@@ -764,6 +777,8 @@ class DGModel:
                 tendency = tendency + self._scalar_hyper_correction(
                     q, aux, F2, faces)
             tendency = tendency + bl.source(q, gf, aux, t)
+            if self.remainder is not None:
+                tendency = tendency - self.remainder[0].source(q, gf, aux, t)
             return tendency, aux
 
         parts = [q, aux]

@@ -49,6 +49,10 @@ class IMEXSolverType:
     # "banded" = BlockTridiagColumnSolver (reference ManyColumnLU memory
     # scaling, the default); "dense" = ManyColumnSolver small-grid oracle
     columnwise_solver: str = "banded"
+    # verify at setup that the implicit operator frozen at (aux0, t=0) is
+    # actually aux/t-independent (a time-dependent linear model would
+    # otherwise silently use a stale factorization)
+    check_frozen_operator: bool = True
 
     def getdtmodel(self, bl):
         """Most restrictive dynamics are treated implicitly (reference
@@ -63,6 +67,25 @@ class IMEXSolverType:
                          numerical_flux_first_order=dg.nf1,
                          direction=VERTICAL, update_aux=False,
                          exchange=dg.exchange)
+
+        if self.check_frozen_operator:
+            # the columnwise factorization freezes the operator at
+            # (aux0, t=0); probe at a perturbed aux/t and refuse a
+            # time- or state-dependent linear model
+            import jax.numpy as jnp
+            f0, _ = dg_lin(q0, aux0, 0.0)
+            aux_p = atmos.update_auxiliary_state(grid, q0 * 1.001, aux0,
+                                                 86400.0)
+            f1, _ = dg_lin(q0, aux_p, 86400.0)
+            scale = float(jnp.max(jnp.abs(f0))) + 1e-300
+            tol = 1e-5 if q0.dtype == jnp.float32 else 1e-11
+            err = float(jnp.max(jnp.abs(f1 - f0)))
+            if err > tol * scale:
+                raise ValueError(
+                    "IMEX implicit operator is aux/t-dependent (relative "
+                    f"drift {err / scale:.3e}); the frozen columnwise "
+                    "factorization would be stale — use HEVISolverType "
+                    "(JFNK) or disable with check_frozen_operator=False")
 
         layout = ColumnLayout(grid, atmos.prog_spec.num)
         solver_cls = {"banded": BlockTridiagColumnSolver,

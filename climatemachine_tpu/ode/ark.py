@@ -70,10 +70,19 @@ class AdditiveRungeKutta:
         return self._jit_impl(q, aux, t, self.dt, self._factors())
 
     def _step_impl(self, q, aux, t, dt, factors):
+        # For an exact linear implicit solve, L·Qi falls out of the solve
+        # itself: (I − γ·dt·L) Qi = rhs ⇒ L·Qi = (Qi − rhs)/(γ·dt) — the
+        # per-stage implicit-operator evaluation is free (the reference's
+        # LowStorageVariant exploits the same identity,
+        # AdditiveRungeKuttaMethod.jl:264-415).  Gated on the solver
+        # declaring itself an exact linear solve (JFNK stages are only
+        # approximate and keep the explicit evaluation).
+        implied_G = getattr(self.solver, "exact_linear_solve", False)
         Fs, Gs = [], []
         Qi = q
         for i in range(self.nstages):
             ti = t + self.C[i] * dt
+            G = None
             if i > 0:
                 rhs = q
                 for j in range(i):
@@ -91,10 +100,13 @@ class AdditiveRungeKutta:
                         Qi = self.solver.solve(rhs, gamma * dt)
                     else:
                         Qi = self.solver.solve(rhs, gamma * dt, factors=fac)
+                    if implied_G:
+                        G = (Qi - rhs) / (gamma * dt)
                 else:
                     Qi = rhs
             F, aux = self.rhs_ex(Qi, aux, ti)
-            G, _ = self.rhs_im(Qi, aux, ti)
+            if G is None:
+                G, _ = self.rhs_im(Qi, aux, ti)
             Fs.append(F)
             Gs.append(G)
         out = q

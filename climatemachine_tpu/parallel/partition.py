@@ -167,3 +167,103 @@ def partition_grid(grid, ndev: int) -> ElementPartition:
                             offsets=offsets, max_send_off=max_send_off,
                             send_idx_off=send_idx_off,
                             vmapP_perm=vmapP_perm, pairs_off=pairs_off)
+
+
+@dataclass
+class RowPartition:
+    """Face-ROW-space halo maps for the var-major fast paths.
+
+    The var-major surface pass and LDG chain exchange whole face rows
+    ([.., row_width] gather-ready tiles) instead of individual nodes; the
+    export lists are therefore row ids in the ACTIVE-face row space
+    ``r = e_loc*nfa + pos(face)``.  On stacked column-aligned partitions
+    only horizontal faces ever cross shards, so any active face set that
+    contains the horizontal faces is exchange-complete.
+
+    Attributes:
+      nbr_ext: [ndev, E_loc*nfa] int32 — neighbor row id in the extended
+        active-row space [E_loc*nfa + n_off*max_rows_off].
+      offsets: ring distances with traffic (subset of the node halo's).
+      send_rows: [n_off, ndev, max_rows_off] active-row ids shard d packs
+        for neighbor (d+offsets[oi]) %% ndev.
+      pairs_off: per offset, source shards with traffic.
+    """
+    ndev: int
+    E_loc: int
+    nfa: int
+    nbr_ext: np.ndarray
+    offsets: tuple
+    max_rows_off: int
+    send_rows: np.ndarray
+    pairs_off: tuple
+
+
+def partition_rows(grid, ndev: int, faces) -> "RowPartition":
+    """Row-space halo for the active face set ``faces`` (ordered tuple).
+
+    Requires every remote neighbor of an active face to be an active
+    face itself (true whenever faces ⊇ horizontal faces on stacked
+    column-aligned partitions); raises otherwise.
+    """
+    E, nface = grid.nelem, grid.nface
+    if E % ndev:
+        raise ValueError(f"nelem={E} not divisible by ndev={ndev}")
+    E_loc = E // ndev
+    faces = tuple(faces)
+    nfa = len(faces)
+    pos = -np.ones(nface, dtype=np.int64)
+    for j, f in enumerate(faces):
+        pos[f] = j
+
+    nbr = np.asarray(grid.face_nbr_row)[:, list(faces)]  # [E, nfa] global
+    ne, nf = nbr // nface, nbr % nface
+    owner = ne // E_loc
+    src_owner = (np.arange(E) // E_loc)[:, None]
+    remote = owner != src_owner
+    if (pos[nf][remote] < 0).any():
+        raise ValueError("remote neighbor face outside the active set")
+
+    # global active-row id of the neighbor
+    g_active = ne * nfa + pos[nf]                        # [E, nfa]
+
+    # per ordered pair (d -> s): exported active rows owned by d
+    pair_exports = {}
+    for s in range(ndev):
+        own = owner[s * E_loc:(s + 1) * E_loc]
+        tgt = g_active[s * E_loc:(s + 1) * E_loc]
+        for d in np.unique(own):
+            if d == s:
+                continue
+            pair_exports[(int(d), s)] = np.unique(tgt[own == d])
+    offsets = tuple(sorted({(s - d) % ndev for d, s in pair_exports}))
+    n_off = len(offsets)
+    max_rows_off = max((len(v) for v in pair_exports.values()), default=0)
+    max_rows_off = max(max_rows_off, 1)
+    send_rows = np.zeros((max(n_off, 1), ndev, max_rows_off), dtype=np.int64)
+    for (d, s), ex in pair_exports.items():
+        oi = offsets.index((s - d) % ndev)
+        send_rows[oi, d, :len(ex)] = ex - d * E_loc * nfa  # local active row
+
+    halo_base = E_loc * nfa
+    nbr_ext = np.zeros((ndev, E_loc * nfa), dtype=np.int64)
+    for s in range(ndev):
+        own = owner[s * E_loc:(s + 1) * E_loc]
+        tgt = g_active[s * E_loc:(s + 1) * E_loc]
+        local = tgt - s * E_loc * nfa
+        remote_ids = np.zeros_like(tgt)
+        for d in np.unique(own):
+            if d == s:
+                continue
+            ex = pair_exports[(int(d), s)]
+            oi = offsets.index((s - int(d)) % ndev)
+            m = own == d
+            idx = np.searchsorted(ex, tgt[m])
+            remote_ids[m] = halo_base + oi * max_rows_off + idx
+        nbr_ext[s] = np.where(own == s, local, remote_ids).reshape(-1)
+
+    pairs_off = tuple(
+        tuple(sorted(d for (d, s) in pair_exports if (s - d) % ndev == o))
+        for o in offsets)
+    return RowPartition(ndev=ndev, E_loc=E_loc, nfa=nfa, nbr_ext=nbr_ext,
+                        offsets=offsets, max_rows_off=max_rows_off,
+                        send_rows=send_rows, pairs_off=pairs_off)

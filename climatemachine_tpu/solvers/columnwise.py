@@ -82,6 +82,11 @@ class BlockTridiagColumnSolver:
     by a random-vector matvec check and raises.
     """
 
+    # the solve is a direct factorization: (Qi − rhs)/(α·dt) == op(Qi)
+    # exactly (incl. the affine part, folded into the rhs), so ARK can
+    # derive the implicit tendency from the solve (ode/ark.py)
+    exact_linear_solve = True
+
     def __init__(self, op: Callable, layout: ColumnLayout, example_q,
                  check: bool = True):
         self.layout = layout
@@ -237,6 +242,8 @@ class ManyColumnSolver:
     ``op(q) -> Lq`` must be linear + column-local (a vertical-direction
     DG RHS of an AtmosLinearModel).
     """
+
+    exact_linear_solve = True   # direct inverse: see BlockTridiag note
 
     def __init__(self, op: Callable, layout: ColumnLayout, example_q):
         self.layout = layout

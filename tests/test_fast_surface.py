@@ -89,3 +89,30 @@ def test_fast_surface_matches_generic_brick():
     t1, _ = dg1(q, aux, 0.0)
     scale = float(jnp.max(jnp.abs(t0)))
     assert float(jnp.max(jnp.abs(t1 - t0))) < 1e-12 * scale
+
+
+def test_fast_surface_remainder_matches_generic():
+    """Fused-remainder fast surface (IMEX explicit stage) equals the
+    generic remainder path at round-off (reference remainder.jl:37 +
+    heldsuarez.jl:234-240 IMEX split)."""
+    from climatemachine_tpu.atmos.linear import \
+        AtmosAcousticGravityLinearModel
+    from climatemachine_tpu.dg import fast_surface
+    from climatemachine_tpu.dg.spatial import VERTICAL
+
+    cfg = held_suarez_config(n_horz=2, n_vert=3, poly_order=3,
+                             dtype=np.float64)
+    lin = AtmosAcousticGravityLinearModel(cfg.model)
+    rem = (lin, VERTICAL)
+    dg0 = DGModel(cfg.model, cfg.grid, remainder=rem, surface_kernel="xla")
+    dg1 = DGModel(cfg.model, cfg.grid, remainder=rem,
+                  surface_kernel="varmajor")
+    assert not dg0._fast_surface
+    assert dg1._fast_surface and fast_surface.supports(dg1)
+    q, aux = init_ode_state(dg0)
+    rng = np.random.default_rng(7)
+    q = q * (1 + 1e-3 * jnp.asarray(rng.standard_normal(q.shape)))
+    t0, _ = dg0(q, aux, 0.0)
+    t1, _ = dg1(q, aux, 0.0)
+    scale = float(jnp.max(jnp.abs(t0)))
+    assert float(jnp.max(jnp.abs(t1 - t0))) < 1e-12 * scale

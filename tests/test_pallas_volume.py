@@ -45,3 +45,35 @@ def test_pallas_full_rhs_matches_xla():
     tp, _ = jax.jit(lambda q, a: dg_p(q, a, 0.0))(q, aux)
     scale = float(jnp.max(jnp.abs(tx)))
     assert float(jnp.max(jnp.abs(tp - tx))) < 1e-5 * scale
+
+
+def test_pallas_volume_remainder_matches_generic():
+    """Pallas volume kernel with in-VMEM linear-flux subtraction (IMEX
+    remainder) equals the generic remainder volume path (reference
+    remainder.jl:37; interpret mode on CPU)."""
+    import numpy as np
+    from climatemachine_tpu.atmos.linear import \
+        AtmosAcousticGravityLinearModel
+    from climatemachine_tpu.dg.spatial import DGModel, VERTICAL, \
+        init_ode_state
+    from climatemachine_tpu.experiments.held_suarez import \
+        held_suarez_config
+
+    cfg = held_suarez_config(n_horz=2, n_vert=2, poly_order=3,
+                             dtype=np.float64)
+    lin = AtmosAcousticGravityLinearModel(cfg.model)
+    rem = (lin, VERTICAL)
+    dg0 = DGModel(cfg.model, cfg.grid, remainder=rem, volume_kernel="xla",
+                  surface_kernel="xla")
+    dg1 = DGModel(cfg.model, cfg.grid, remainder=rem,
+                  volume_kernel="pallas", surface_kernel="xla")
+    assert dg1._pallas_volume
+    q, aux = init_ode_state(dg0)
+    rng = np.random.default_rng(11)
+    q = q * (1 + 1e-3 * jnp.asarray(rng.standard_normal(q.shape)))
+    t0, _ = dg0(q, aux, 0.0)
+    t1, _ = dg1(q, aux, 0.0)
+    scale = float(jnp.max(jnp.abs(t0)))
+    # kernel dots run at f32 (matching the benchmark dtype); the
+    # remainder's vertical cancellation puts parity at ~1e-5 relative
+    assert float(jnp.max(jnp.abs(t1 - t0))) < 3e-5 * scale
