@@ -763,9 +763,11 @@ class DGModel:
         # hyperdiffusive transport (F₂ is linear in the hyper state), so
         # the correction is masked to interior faces — exactly the
         # hyM/hyP zeroing of the generic path.
+        scalar_hyper_avail = (
+            (g.face_nbr_row is not None and self.exchange is None)
+            or (self._ldg_vm and tuple(faces) in self.row_halo))
         use_scalar_hyper = (hyper is not None and gf is None
-                            and g.face_nbr_row is not None
-                            and self.exchange is None
+                            and scalar_hyper_avail
                             and not getattr(bl, "has_boundary_flux_second_order",
                                             hasattr(bl, "boundary_flux_second_order")))
         nq, naux = q.shape[-1], aux.shape[-1]
@@ -876,7 +878,9 @@ def remainder_DGModel(dg_full, dg_lin):
                    diffusion_direction=dg_full.diffusion_direction,
                    update_aux=dg_full.update_aux,
                    exchange=dg_full.exchange,
-                   remainder=(dg_lin.balance_law, dg_lin.direction))
+                   remainder=(dg_lin.balance_law, dg_lin.direction),
+                   row_halo=dg_full.row_halo,
+                   **dg_full.kernel_opts)
 
 
 # --- state creation / initialization ----------------------------------------

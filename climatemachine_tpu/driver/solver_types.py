@@ -63,10 +63,22 @@ class IMEXSolverType:
         atmos = dg.balance_law
         grid = dg.grid
         lin = self.implicit_model(atmos)
-        dg_lin = DGModel(lin, grid,
-                         numerical_flux_first_order=dg.nf1,
-                         direction=VERTICAL, update_aux=False,
-                         exchange=dg.exchange)
+        # ShardedDGModel facade: build the vertical linear model and the
+        # fused remainder locally, then re-wrap both over the same mesh
+        # (the vertical operator is column-local — its "halo" moves
+        # nothing — and the remainder keeps the var-major row halo)
+        sharded = hasattr(dg, "inner") and hasattr(dg, "mesh")
+        inner = dg.inner if sharded else dg
+        dg_lin_local = DGModel(lin, grid,
+                               numerical_flux_first_order=dg.nf1,
+                               direction=VERTICAL, update_aux=False,
+                               exchange=inner.exchange)
+        dg_rem = remainder_DGModel(inner, dg_lin_local)
+        dg_lin = dg_lin_local
+        if sharded:
+            from climatemachine_tpu.parallel.sharded import ShardedDGModel
+            dg_lin = ShardedDGModel(dg_lin_local, dg.mesh, halo=dg.halo)
+            dg_rem = ShardedDGModel(dg_rem, dg.mesh, halo=dg.halo)
 
         if self.check_frozen_operator:
             # the columnwise factorization freezes the operator at
@@ -92,8 +104,6 @@ class IMEXSolverType:
                       "dense": ManyColumnSolver}[self.columnwise_solver]
         col_solver = solver_cls(
             lambda x: dg_lin(x, aux0, 0.0)[0], layout, q0)
-
-        dg_rem = remainder_DGModel(dg, dg_lin)
 
         def rhs_ex(q, aux, t):
             # fused full − linear (reference remainder_DGModel; one

@@ -181,9 +181,12 @@ class HomogeneousBox(OceanGyre):
             )
 
     def init_state(self, model, coords, aux, t):
+        """u = 0, η = 0, θ = 20 (reference homogeneous_box.jl:48-54)."""
         q = jnp.zeros(coords.shape[:-1] + (model.prog_spec.num,),
                       dtype=coords.dtype)
-        return q
+        return model.prog_spec.set(q, "theta",
+                                   jnp.full(coords.shape[:-1], 20.0,
+                                            dtype=coords.dtype))
 
 
 def ocean_box_grid(problem, nx, ny, nz, polyorder, dtype=None):

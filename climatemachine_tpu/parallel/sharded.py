@@ -31,8 +31,10 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from climatemachine_tpu.dg.spatial import DGModel
-from climatemachine_tpu.parallel.partition import ElementPartition, partition_grid
+from climatemachine_tpu.dg.spatial import DGModel, direction_faces
+from climatemachine_tpu.parallel.partition import (ElementPartition,
+                                                   partition_grid,
+                                                   partition_rows)
 
 AXIS = "e"
 
@@ -81,10 +83,67 @@ class _ShardGrid:
     face_nbr_row: object = None   # None => node-space gather path
     Wdiv: object = None
     Wgrad: object = None
+    fmask_padded: object = None
+    face_perm_identity: bool = True
 
     @property
     def nelem(self):
         return self.M.shape[0]
+
+
+class _RowHalo:
+    """Face-row halo for the var-major fast paths under shard_map.
+
+    ``gather(R2)`` returns, for every local active face row of
+    ``R2 [E_loc*nfa, W]``, the neighbor's row: local rows by index,
+    remote rows through one collective per ring offset (ppermute) or a
+    single all_gather (CPU validation rig) — the row-space analog of the
+    node halo (reference begin/end_ghost_exchange!,
+    MPIStateArrays.jl:411-516)."""
+
+    def __init__(self, nbr, send, offsets, pairs, axis, ndev, kind,
+                 max_rows):
+        self.nbr = nbr            # [E_loc*nfa] extended-space neighbor ids
+        self.send = send          # [n_off, max_rows] local rows to export
+        self.offsets = offsets
+        self.pairs = pairs
+        self.axis = axis
+        self.ndev = ndev
+        self.kind = kind
+        self.max_rows = max_rows
+
+    def _shard_index(self):
+        axes = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        idx = 0
+        for a in axes:
+            idx = idx * jax.lax.psum(1, a) + jax.lax.axis_index(a)
+        return idx
+
+    def gather(self, R2):
+        parts = [R2]
+        if self.kind == "ppermute":
+            prev = None
+            for oi, o in enumerate(self.offsets):
+                snd = R2[self.send[oi]]
+                if prev is not None:
+                    # chain collectives (see node halo note: XLA:CPU's
+                    # rendezvous can deadlock on reordered permutes)
+                    snd, _ = jax.lax.optimization_barrier((snd, prev))
+                perm = [(d, (d + o) % self.ndev) for d in self.pairs[oi]]
+                prev = jax.lax.ppermute(snd, self.axis, perm)
+                parts.append(prev)
+        else:
+            snd = R2[self.send.reshape(-1)]          # [n_off*max, W]
+            gathered = jax.lax.all_gather(snd, self.axis)
+            gathered = gathered.reshape((self.ndev,) + snd.shape)
+            s = self._shard_index()
+            m = self.max_rows
+            for oi, o in enumerate(self.offsets):
+                src = (s - o) % self.ndev
+                blk = jnp.take(gathered, src, axis=0)
+                parts.append(blk[oi * m:(oi + 1) * m])
+        ext = jnp.concatenate(parts, axis=0)
+        return ext[self.nbr]
 
 
 class ShardedDGModel:
@@ -139,13 +198,74 @@ class ShardedDGModel:
         self._static = dict(dim=g.dim, Nq=g.Nq, Np=g.Np, nface=g.nface,
                             Nfp_max=g.Nfp_max, D=g.D, lift=g.lift,
                             elem_bctags=g.elem_bctags, Wdiv=g.Wdiv,
-                            Wgrad=g.Wgrad)
+                            Wgrad=g.Wgrad,
+                            fmask_padded=g.fmask_padded,
+                            face_perm_identity=g.face_perm_identity)
+
+        # --- face-ROW halo for the var-major fast paths --------------------
+        # Only when the per-shard boundary pattern is shard-invariant
+        # (stacked grids: tags depend on the vertical position only), so
+        # the static kernel tables are valid under the single SPMD trace.
+        self._row_parts = {}
+        self._bctag_static = None
+        if (g.face_nbr_row is not None and g.face_perm_identity
+                and g.n_vert is not None):
+            bct = np.asarray(g.face_bctag).reshape(ndev, p.E_loc, g.nface)
+            if (bct == bct[0]).all():
+                self._bctag_static = bct[0]
+                face_sets = {tuple(range(g.nface))}
+                bl = dg.balance_law
+                from climatemachine_tpu.balance_laws import state_types as st
+                if bl.num_state(st.Hyperdiffusive()) > 0:
+                    hdir = (getattr(bl, "hyperdiffusion_direction", None)
+                            or dg.diffusion_direction)
+                    face_sets.add(direction_faces(hdir, g.dim))
+                for fs in face_sets:
+                    try:
+                        self._row_parts[fs] = partition_rows(g, ndev, fs)
+                    except ValueError:
+                        pass
+        self._row_tabs = {
+            fs: dict(nbr=jax.device_put(jnp.asarray(rp.nbr_ext, jnp.int32),
+                                        self.sharding),
+                     send=jax.device_put(
+                         jnp.asarray(rp.send_rows.transpose(1, 0, 2),
+                                     jnp.int32), self.sharding))
+            for fs, rp in self._row_parts.items()}
 
         self._shard_rhs = self._build()
 
     def shard(self, x):
         """Place a global [E, ...] array with the element-axis sharding."""
         return jax.device_put(x, self.sharding)
+
+    # --- facade so solver-type strategies (driver/solver_types.py) can
+    # assemble IMEX/multirate stacks from a sharded model exactly like a
+    # local one: the wrapped model's balance law / grid / fluxes are the
+    # GLOBAL objects, and sub-models built from them are re-wrapped with
+    # the same mesh by the strategy.
+    @property
+    def balance_law(self):
+        return self.inner.balance_law
+
+    @property
+    def grid(self):
+        return self.inner.grid
+
+    @property
+    def nf1(self):
+        return self.inner.nf1
+
+    @property
+    def direction(self):
+        return self.inner.direction
+
+    @property
+    def remainder(self):
+        return self.inner.remainder
+
+    def pre_stage(self, q, aux, t):
+        return self.inner.pre_stage(q, aux, t)
 
     def _build(self):
         inner = self.inner
@@ -156,9 +276,11 @@ class ShardedDGModel:
         halo_kind = self.halo
         offsets = self.part.offsets
         pairs_off = self.part.pairs_off
+        row_parts = self._row_parts
+        bctag_static = self._bctag_static
 
         def shard_fn(q, aux, vmapP, send_idx, M, MI, xi_x, normals, sM,
-                     face_bctag, coords, t):
+                     face_bctag, coords, row_tabs, t):
             vmapP = vmapP[0]        # [E_loc, nface, Nfpm] (leading dev axis)
             send_idx = send_idx[0]
 
@@ -188,10 +310,22 @@ class ShardedDGModel:
                 halo = halo.reshape((-1,) + flat.shape[1:])
                 return jnp.concatenate([flat, halo], axis=0)
 
+            # face-row halos for the var-major fast paths (static
+            # boundary tables require the np shard-invariant bctag)
+            row_halo = {}
+            for fs, tabs in row_tabs.items():
+                rp = row_parts[fs]
+                row_halo[fs] = _RowHalo(
+                    nbr=tabs["nbr"][0], send=tabs["send"][0],
+                    offsets=rp.offsets, pairs=rp.pairs_off, axis=axis,
+                    ndev=ndev, kind=halo_kind, max_rows=rp.max_rows_off)
+
             sgrid = _ShardGrid(vmapM=vmapM_loc, vmapP=vmapP, M=M, MI=MI,
                                xi_x=xi_x, normals=normals, sM=sM,
-                               face_bctag=face_bctag, coords=coords,
-                               **static)
+                               face_bctag=(bctag_static
+                                           if bctag_static is not None
+                                           else face_bctag),
+                               coords=coords, **static)
             dg = DGModel(inner.balance_law, sgrid,
                          numerical_flux_first_order=inner.nf1,
                          numerical_flux_gradient=inner.nfg,
@@ -199,11 +333,14 @@ class ShardedDGModel:
                          direction=inner.direction,
                          diffusion_direction=inner.diffusion_direction,
                          update_aux=inner.update_aux,
-                         exchange=exchange)
+                         exchange=exchange,
+                         remainder=inner.remainder,
+                         row_halo=row_halo,
+                         **inner.kernel_opts)
             return dg(q, aux, t)
 
         e = P(self.axis)
-        in_specs = (e, e, e, e, e, e, e, e, e, e, e, P())
+        in_specs = (e, e, e, e, e, e, e, e, e, e, e, e, P())
         out_specs = (e, e)
         fn = shard_map(shard_fn, mesh=self.mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
@@ -212,7 +349,7 @@ class ShardedDGModel:
             gm = self._geom
             return fn(q, aux, self._vmapP, self._send_idx, gm["M"],
                       gm["MI"], gm["xi_x"], gm["normals"], gm["sM"],
-                      gm["face_bctag"], gm["coords"], t)
+                      gm["face_bctag"], gm["coords"], self._row_tabs, t)
 
         return rhs
 

@@ -187,3 +187,114 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     tend_a, _ = jax.jit(sdg)(qs, auxs, 0.0)
     tend_b, _ = jax.jit(sdg)(q3, sdg.shard(jnp.asarray(aux2)), 0.0)
     assert float(jnp.max(jnp.abs(tend_a - tend_b))) == 0.0
+
+
+def _hs_small(n_horz=4, n_vert=2, poly=3):
+    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+    return held_suarez_config(n_horz=n_horz, n_vert=n_vert,
+                              poly_order=poly, dtype=np.float64)
+
+
+def test_sharded_fast_paths_match_single_device():
+    """Var-major fast surface + LDG chain stay ON under shard_map via the
+    face-row halo, reproducing the single-device RHS (Held-Suarez
+    physics incl. the DryBiharmonic hyperdiffusion chain)."""
+    assert len(jax.devices()) >= 8
+    cfg = _hs_small()
+    dg = DGModel(cfg.model, cfg.grid, surface_kernel="varmajor")
+    assert dg._fast_surface and dg._ldg_vm
+    q, aux = init_ode_state(dg)
+    tend_ref, _ = dg(q, aux, 0.0)
+
+    for halo in ("ppermute", "allgather"):
+        mesh = make_mesh(jax.devices()[:8])
+        sdg = ShardedDGModel(dg, mesh, halo=halo)
+        assert sdg._row_parts, "row halo must be available for this grid"
+        qs, auxs = sdg.shard(q), sdg.shard(aux)
+        tend_s, _ = jax.jit(lambda a, b: sdg(a, b, 0.0))(qs, auxs)
+        err = float(jnp.max(jnp.abs(jnp.asarray(tend_s) - tend_ref)))
+        scale = float(jnp.max(jnp.abs(tend_ref)))
+        assert err < 1e-11 * scale, (halo, err, scale)
+
+
+def test_sharded_imex_step_matches_single_device():
+    """ARK2GKC + BlockTridiag columnwise solve on 8 virtual devices ==
+    the identical single-device assembly (VERDICT r2 gap: ColumnLayout
+    reshapes + block-Thomas under GSPMD were unvalidated on >1 dev)."""
+    from climatemachine_tpu.driver.solver_types import IMEXSolverType
+    from climatemachine_tpu.mesh.grid import min_node_distance
+    assert len(jax.devices()) >= 8
+    cfg = _hs_small()
+    dg = DGModel(cfg.model, cfg.grid, surface_kernel="varmajor")
+    q, aux = init_ode_state(dg)
+    dt = 6 * 0.3 * float(min_node_distance(cfg.grid)) / 350.0
+
+    imex0 = IMEXSolverType().make(dg, q, aux, dt)
+    qr, auxr, t = q, aux, 0.0
+    for _ in range(3):
+        qr, auxr = imex0.step(qr, auxr, t)
+        t += dt
+
+    mesh = make_mesh(jax.devices()[:8])
+    sdg = ShardedDGModel(dg, mesh)
+    qs, auxs = sdg.shard(q), sdg.shard(aux)
+    imex_s = IMEXSolverType().make(sdg, qs, auxs, dt)
+    t = 0.0
+    for _ in range(3):
+        qs, auxs = imex_s.step(qs, auxs, t)
+        t += dt
+    err = float(jnp.max(jnp.abs(jnp.asarray(qs) - qr)))
+    scale = float(jnp.max(jnp.abs(qr - q))) + 1e-30
+    assert err < 1e-9 * scale, (err, scale)
+
+
+def test_sharded_second_order_flux_matches_single_device():
+    """Second-order (gradient-flux) halo round under shard_map: a
+    ConstantViscosity LES box RHS == single device (VERDICT r2 gap)."""
+    from climatemachine_tpu.common.turbulence import ConstantKinematicViscosity
+    r = [np.linspace(0, 1e3, 9), np.linspace(0, 1e3, 3),
+         np.linspace(0, 1e3, 4)]
+    topo = stacked_brick_topology(
+        r, periodicity=(True, True, False),
+        boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    grid = make_grid(topo, 3, dtype=np.float64)
+    ps = EARTH
+    from climatemachine_tpu.common.orientations import FlatOrientation
+    physics = AtmosPhysics(
+        orientation=FlatOrientation(),
+        ref_state=HydrostaticState(DecayingTemperatureProfile(290.0, 220.0)),
+        turbulence=ConstantKinematicViscosity(75.0))
+
+    def init(m, coords, aux, t):
+        s = m.aux_spec
+        rho = s.get(aux, "ref_state.rho")
+        p = s.get(aux, "ref_state.p")
+        Phi = s.get(aux, "orientation.Phi")
+        x = coords / 1e3
+        rho = rho * (1 + 0.01 * jnp.sin(2 * x[..., 0]) * jnp.cos(x[..., 2]))
+        T = p / (ps.R_d * rho)
+        u = 8.0 * jnp.stack([jnp.cos(x[..., 1]), jnp.sin(x[..., 0]),
+                             0.1 * jnp.cos(x[..., 2])], axis=-1)
+        rhou = rho[..., None] * u
+        ke = 0.5 * jnp.sum(u * u, axis=-1)
+        rhoe = rho * (td.internal_energy(ps, T) + ke + Phi)
+        q = m.prog_spec.pack({"rho": rho, "rhoe": rhoe},
+                             batch_shape=rho.shape)
+        return m.prog_spec.set(q, "rhou", rhou)
+
+    model = AtmosModel(physics,
+                       AtmosProblem(init_state=init,
+                                    boundary_conditions=(AtmosBC(), AtmosBC())),
+                       sources=(Gravity(),))
+    dg = DGModel(model, grid)
+    assert dg.n_gradient > 0, "test must exercise the gradient-flux halo"
+    q, aux = init_ode_state(dg)
+    tend_ref, _ = dg(q, aux, 0.0)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sdg = ShardedDGModel(dg, mesh)
+    qs, auxs = sdg.shard(q), sdg.shard(aux)
+    tend_s, _ = jax.jit(lambda a, b: sdg(a, b, 0.0))(qs, auxs)
+    err = float(jnp.max(jnp.abs(jnp.asarray(tend_s) - tend_ref)))
+    scale = float(jnp.max(jnp.abs(tend_ref)))
+    assert err < 1e-11 * scale, (err, scale)
