@@ -83,15 +83,19 @@ def AtmosLESConfiguration(name: str, polyorder, resolution: Tuple,
 def AtmosGCMConfiguration(name: str, polyorder, resolution: Tuple[int, int],
                           domain_height: float, model,
                           planet_radius: Optional[float] = None,
-                          dtype=None) -> DriverConfiguration:
+                          dtype=None, meshwarp=None) -> DriverConfiguration:
     """GCM cubed sphere: (n_horz, n_vert) elements (reference
-    driver_configs.jl:344)."""
+    driver_configs.jl:344).  ``meshwarp`` overrides the shell warp (a
+    callable or warp name — e.g. a topography warp, reference
+    solid_body_rotation_mountain.jl:94 set_topofun)."""
     n_horz, n_vert = resolution
     a = planet_radius
     if a is None:
         a = model.param_set.planet_radius
     vert_range = a + np.linspace(0.0, domain_height, n_vert + 1)
-    topology = topo_mod.stacked_cubed_sphere_topology(n_horz, vert_range)
+    topology = topo_mod.stacked_cubed_sphere_topology(
+        n_horz, vert_range,
+        **(dict(warp=meshwarp) if meshwarp is not None else {}))
     grid = make_grid(topology, polyorder, dtype=dtype)
     return DriverConfiguration(AtmosGCMConfigType(), name, polyorder, grid,
                                model,

@@ -572,3 +572,41 @@ def single_stack_topology(x_extent, y_extent, z_range) -> Topology:
               np.asarray(z_range, dtype=np.float64)]
     return stacked_brick_topology(ranges, periodicity=(True, True, False),
                                   boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+
+
+def dcmip_mountain_warp(r_inner: float, r_outer: float, h0: float = 2000.0,
+                        R_m: float = np.pi * 3 / 4,
+                        zeta_m: float = np.pi / 16,
+                        phi_m: float = 0.0,
+                        lambda_m: float = np.pi * 3 / 2):
+    """Cubed-sphere warp with DCMIP analytical topography (reference
+    Topologies.jl:2033-2067 DCMIPMountain + cubed_sphere_topo_warp
+    :2070): a cosine-bell mountain of height ``h0`` centered at
+    (lambda_m, phi_m), with the radial perturbation decaying linearly
+    from the inner shell (full amplitude) to the outer shell (zero).
+
+    Returns a warp callable for :func:`stacked_cubed_sphere_topology`.
+    """
+
+    def warp(x1, x2, x3):
+        p1, p2, p3 = equiangular_cubed_sphere_warp(x1, x2, x3)
+        r = np.sqrt(p1 ** 2 + p2 ** 2 + p3 ** 2)
+        safe_r = np.where(r == 0, 1.0, r)
+        lat = np.arcsin(np.clip(p3 / safe_r, -1.0, 1.0))
+        lon = np.arctan2(p2, p1)
+        r_m = np.arccos(np.clip(
+            np.sin(phi_m) * np.sin(lat)
+            + np.cos(phi_m) * np.cos(lat) * np.cos(lon - lambda_m),
+            -1.0, 1.0))
+        zs = np.where(
+            r_m < R_m,
+            0.5 * h0 * (1 + np.cos(np.pi * r_m / R_m))
+            * np.cos(np.pi * r_m / zeta_m) ** 2,
+            0.0)
+        # mesh decay profile (reference :2054): full surface amplitude
+        # at r_inner, zero at the model top
+        delta = (r_outer - r) / (r_outer - r_inner)
+        scale = (r + zs * delta) / safe_r
+        return p1 * scale, p2 * scale, p3 * scale
+
+    return warp

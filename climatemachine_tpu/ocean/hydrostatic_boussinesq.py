@@ -48,7 +48,7 @@ class HydrostaticBoussinesqModel(BalanceLaw):
     """(reference hydrostatic_boussinesq_model.jl:24)"""
 
     def __init__(self, problem, param_set: PlanetParameterSet = EARTH,
-                 coupling=None, momentum_advection="nonlinear",
+                 coupling=None, momentum_advection=None,
                  tracer_advection="nonlinear",
                  forcing: OceanForcing = None,
                  rho_o=1000.0, c_h=0.0, c_z=0.0, alpha_T=2e-4,
@@ -59,6 +59,9 @@ class HydrostaticBoussinesqModel(BalanceLaw):
         self.problem = problem
         self.param_set = param_set
         self.coupling = coupling or oc.Uncoupled()
+        # default None matches the reference (hydrostatic_boussinesq_
+        # model.jl:47 momentum_advection = nothing); pass "nonlinear"
+        # for the ∇·(v⊗u) term (NonLinearAdvectionTerm)
         self.momentum_advection = momentum_advection
         self.tracer_advection = tracer_advection
         self.forcing = forcing or OceanForcing()
@@ -270,17 +273,34 @@ class HydrostaticBoussinesqModel(BalanceLaw):
 
     def boundary_state_gradient_flux(self, tag, nrm, gf_minus, q_minus,
                                      aux_minus, t):
-        """Second-order ghost: 2·target − minus so the central average
-        equals the reference's plus-state boundary flux."""
+        """Second-order ghost: 2·target − minus so the central AVERAGE
+        equals the reference's boundary flux.  The reference evaluates
+        flux_second_order(Q⁺, D⁺) with the ghost DIRECTLY
+        (NumericalFluxes.jl:938-966 normal_boundary_flux_second_order!);
+        this framework's surface pass always averages minus/plus, so the
+        ghost is chosen to make the average equal the reference's D⁺:
+
+        - FreeSlip:   ref D⁺ = 0  (bc_velocity.jl:147) → ghost −D⁻
+        - NoSlip:     ref D⁺ = D⁻ (bc_velocity.jl:71)  → ghost copy
+        - Kin.Stress: ref D⁺ = n⊗τ (bc_velocity.jl:233) → 2(n⊗τ) − D⁻
+        - Insulating: ref D⁺ = 0  (bc_temperature.jl:45) → −D⁻
+        - Temp.Flux:  ref D⁺ = n·f (bc_temperature.jl:85) → 2(n·f) − D⁻
+        """
         bc = self.problem.boundary_conditions[tag - 1]
         fs = self.gf_spec
         gfP = gf_minus
         v = bc.velocity
         if isinstance(v.drag, oc.FreeSlip):
             gfP = fs.set(gfP, "nu_grad_u", -fs.get(gf_minus, "nu_grad_u"))
-        elif isinstance(v.drag, oc.KinematicStress) and v.drag.stress:
+        elif isinstance(v.drag, oc.KinematicStress) and (
+                v.drag.stress
+                or getattr(self.problem, "_stress", None)):
+            # KinematicStress() with no explicit function dispatches to
+            # the problem's own stress (reference kinematic_stress(p, y, ρ),
+            # homogeneous_box.jl:65 / ocean_gyre.jl:92)
+            stress = v.drag.stress or self.problem._stress
             y = self.aux_get(aux_minus, "y")
-            tau = v.drag.stress(self.problem, y, t)     # [..., 2]
+            tau = stress(self.problem, y, t)            # [..., 2]
             target = nrm[..., :, None] * tau[..., None, :]
             gfP = fs.set(gfP, "nu_grad_u",
                          2 * target - fs.get(gf_minus, "nu_grad_u"))

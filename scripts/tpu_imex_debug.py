@@ -25,13 +25,21 @@ def main():
     tau = float(os.environ.get("TAU", str(8 * 3600.0)))
     cfg = held_suarez_config(n_horz=n_horz, n_vert=n_vert, poly_order=4,
                              dtype=dtype, hyperdiffusion_tau=tau)
-    dg = DGModel(cfg.model, cfg.grid, ldg_kernel=ldg)
+    surf = os.environ.get("SURF", "auto")
+    vol = os.environ.get("VOL", "auto")
+    dg = DGModel(cfg.model, cfg.grid, ldg_kernel=ldg, surface_kernel=surf,
+                 volume_kernel=vol)
     q, aux = init_ode_state(dg)
     cfl = float(os.environ.get("CFL", "0.1"))
     dt_im = cfl * float(min_node_distance(cfg.grid, "horizontal")) / 350.0
     print(f"nh={n_horz} nv={n_vert} ldg={ldg} dtype={dtype.__name__} "
           f"dt={dt_im:.2f}s", flush=True)
     imex = IMEXSolverType().make(dg, q, aux, dt_im)
+    if os.environ.get("NO_IMPLIED_G"):
+        imex.solver.exact_linear_solve = False
+    print(f"surf={dg._fast_surface} vol={dg._pallas_volume} "
+          f"impG={getattr(imex.solver, 'exact_linear_solve', False)}",
+          flush=True)
 
     spec = cfg.model.prog_spec
     t = 0.0

@@ -186,3 +186,37 @@ def test_bomex_moist_edmf_rhs():
     # short run stays finite
     q, aux, _ = _run(model, dg, grid, q0, aux, 60)
     assert bool(jnp.all(jnp.isfinite(q)))
+
+
+def test_sbl_edmf_mse_gate():
+    """Stored-solution MSE gate (counterpart of reference
+    compute_mse.jl + report_mse_sbl_edmf.jl best_mse; the reference
+    compares against network-fetched PyCLES artifacts, so the profiles
+    here are frozen from this framework — scripts/gen_edmf_refprofiles
+    calibrates the per-variable budgets so a 10% perturbation of c_eps
+    (entrainment) or c_m (eddy viscosity) fails the gate)."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "refvals",
+                        "edmf_sbl_profiles.py")
+    spec = importlib.util.spec_from_file_location("edmf_rv", path)
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+
+    edmf = EDMF(N_up=1, surface=NeutralDrySurfaceModel(),
+                coupling=Coupled())
+    model, dg, grid, q0, aux = _sbl_setup(edmf)
+    q, aux, t = _run(model, dg, grid, q0, aux, rv.NSTEPS)
+    assert bool(jnp.all(jnp.isfinite(q)))
+
+    z = np.asarray(grid.coords[..., 2]).reshape(-1)
+    order = np.argsort(z, kind="stable")
+    names = model.prog_spec.flattened_names()
+    failures = []
+    for v, budget in rv.budgets.items():
+        got = np.asarray(q[..., names.index(v)]).reshape(-1)[order]
+        ref = rv.profiles[v]
+        mse = float(np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-30))
+        if mse > budget:
+            failures.append((v, mse, budget))
+    assert not failures, failures
