@@ -70,14 +70,17 @@ class AdditiveRungeKutta:
         return self._jit_impl(q, aux, t, self.dt, self._factors())
 
     def _step_impl(self, q, aux, t, dt, factors):
-        # For an exact linear implicit solve, L·Qi falls out of the solve
-        # itself: (I − γ·dt·L) Qi = rhs ⇒ L·Qi = (Qi − rhs)/(γ·dt) — the
-        # per-stage implicit-operator evaluation is free (the reference's
-        # LowStorageVariant exploits the same identity,
-        # AdditiveRungeKuttaMethod.jl:264-415).  Gated on the solver
-        # declaring itself an exact linear solve (JFNK stages are only
-        # approximate and keep the explicit evaluation).
-        implied_G = getattr(self.solver, "exact_linear_solve", False)
+        # For an exact linear implicit solve, the implicit tendency
+        # after the solve comes from the solver's ASSEMBLED operator
+        # (apply_op): perfectly consistent with the factorization and
+        # cheaper than a vertical DG evaluation.  (The algebraic
+        # identity L·Qi = (Qi − rhs)/(γ·dt) — the reference's
+        # LowStorageVariant, AdditiveRungeKuttaMethod.jl:264-415 — is
+        # avoided: its f32 cancellation noise ~eps·|Q|/(γ·dt)
+        # destabilizes the benchmark-scale HEVI step.)  JFNK stages are
+        # only approximate and keep the explicit evaluation.
+        implied_G = (getattr(self.solver, "exact_linear_solve", False)
+                     and hasattr(self.solver, "apply_op"))
         Fs, Gs = [], []
         Qi = q
         for i in range(self.nstages):
@@ -101,7 +104,7 @@ class AdditiveRungeKutta:
                     else:
                         Qi = self.solver.solve(rhs, gamma * dt, factors=fac)
                     if implied_G:
-                        G = (Qi - rhs) / (gamma * dt)
+                        G = self.solver.apply_op(Qi)
                 else:
                     Qi = rhs
             F, aux = self.rhs_ex(Qi, aux, ti)

@@ -82,9 +82,14 @@ class BlockTridiagColumnSolver:
     by a random-vector matvec check and raises.
     """
 
-    # the solve is a direct factorization: (Qi − rhs)/(α·dt) == op(Qi)
-    # exactly (incl. the affine part, folded into the rhs), so ARK can
-    # derive the implicit tendency from the solve (ode/ark.py)
+    # the solve is a direct factorization of the assembled operator, so
+    # ARK can get the implicit tendency from ``apply_op`` (the same
+    # operator as the solve — perfect IMEX consistency) without an extra
+    # vertical DG evaluation (ode/ark.py).  NOTE: the algebraic identity
+    # L·Qi = (Qi − rhs)/(γ·dt) is exact too but its f32 cancellation
+    # noise ~eps·|Q|/(γ·dt) destabilizes the Held-Suarez IMEX step at
+    # benchmark scale (same failure mode as the r2 bf16-dot incident);
+    # the matvec has no cancellation.
     exact_linear_solve = True
 
     def __init__(self, op: Callable, layout: ColumnLayout, example_q,
@@ -162,6 +167,14 @@ class BlockTridiagColumnSolver:
         y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi",
                                         self.U[:, :-1], xb[:, 1:], precision=_HI))
         return y.reshape(self.layout.ncol, self.layout.Nv)
+
+    def apply_op(self, q):
+        """L·q + b via the assembled block-tridiagonal operator — the
+        implicit tendency consistent with the solve, one batched sweep
+        of [ncol, nb, nb] MXU matvecs (no DG evaluation)."""
+        lay = self.layout
+        yc = self._matvec(lay.to_columns(q)) + self.b_cols
+        return lay.from_columns(yc)
 
     def _factor(self, alpha_dt: float):
         """Block-Thomas factorization of M = I − α·dt·A (reference
@@ -244,6 +257,15 @@ class ManyColumnSolver:
     """
 
     exact_linear_solve = True   # direct inverse: see BlockTridiag note
+
+    def apply_op(self, q):
+        """L·q + b via the assembled dense operator (see BlockTridiag
+        note): one batched matvec."""
+        lay = self.layout
+        qc = lay.to_columns(q)
+        yc = jnp.einsum("cij,cj->ci", self.A, qc,
+                        precision=_HI) + self.b_cols
+        return lay.from_columns(yc)
 
     def __init__(self, op: Callable, layout: ColumnLayout, example_q):
         self.layout = layout

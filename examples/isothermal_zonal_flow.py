@@ -1,0 +1,101 @@
+"""Balanced isothermal zonal flow on the cubed sphere (reference
+experiments/TestCase/isothermal_zonal_flow.jl).
+
+A sheared zonal jet u = u0 (1 + z/a) cos(phi) in deep-atmosphere
+gradient balance with an isothermal (300 K) pressure field, no
+rotation: the exact balance p = p0 exp(u0^2 f2 cos^2(phi)/(R T0) - ...)
+must stay steady; drift measures the discrete balance error of the
+metric terms + Rusanov dissipation.  Explicit LSRK144 at CFL 0.4.
+
+Smoke::
+
+    python examples/isothermal_zonal_flow.py --timeend 600 --platform cpu
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climatemachine_tpu import driver_api as cm
+from climatemachine_tpu.common.orientations import (latitude,
+                                                    sphr_to_cart_vec)
+from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
+from climatemachine_tpu.mesh.grid import min_node_distance
+from climatemachine_tpu.physics import thermodynamics as td
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-horz", type=int, default=4)
+    p.add_argument("--n-vert", type=int, default=3)
+    p.add_argument("--poly", type=int, default=4)
+    p.add_argument("--u0", type=float, default=20.0)
+    p.add_argument("--timeend", type=float, default=3600.0)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+
+    ps = cm.EARTH
+    u0, T0 = args.u0, 300.0
+    a = ps.planet_radius
+    physics = cm.AtmosPhysics(
+        orientation=cm.SphericalOrientation(),
+        ref_state=cm.HydrostaticState(cm.IsothermalProfile(T0)))
+
+    def init(m, coords, aux, t):
+        r = jnp.sqrt(jnp.sum(coords ** 2, axis=-1))
+        z = r - a
+        phi = latitude(coords)
+        shear = 1 + z / a
+        f2 = z / a + z ** 2 / (2 * a ** 2)
+        u_sph = jnp.stack([u0 * shear * jnp.cos(phi),
+                           jnp.zeros_like(phi), jnp.zeros_like(phi)],
+                          axis=-1)
+        u = sphr_to_cart_vec(coords, u_sph)
+        pre = u0 ** 2 / (ps.R_d * T0)
+        p_ = ps.MSLP * jnp.exp(pre * f2 * jnp.cos(phi) ** 2
+                               - pre * jnp.sin(phi) ** 2 / 2
+                               - ps.grav * z / (ps.R_d * T0))
+        rho = p_ / (ps.R_d * T0)
+        Phi = m.aux_spec.get(aux, "orientation.Phi")
+        ke = 0.5 * jnp.sum(u * u, axis=-1)
+        rhoe = rho * (td.internal_energy(ps, T0 * jnp.ones_like(rho))
+                      + ke + Phi)
+        q = m.prog_spec.pack({"rho": rho, "rhoe": rhoe},
+                             batch_shape=rho.shape)
+        return m.prog_spec.set(q, "rhou", rho[..., None] * u)
+
+    model = cm.AtmosModel(
+        physics,
+        cm.AtmosProblem(init_state=init,
+                        boundary_conditions=(cm.AtmosBC(), cm.AtmosBC())),
+        sources=(cm.Gravity(),))
+
+    dc = cm.AtmosGCMConfiguration(
+        "isothermal_zonal_flow", args.poly, (args.n_horz, args.n_vert),
+        30e3, model, dtype=np.float64)
+    sc = cm.make_solver_configuration(
+        0.0, args.timeend, dc,
+        ode_solver_type=cm.ExplicitSolverType(
+            solver_method=cm.LSRK144NiegemannDiehlBusch),
+        Courant_number=0.4)
+    grid, q0 = dc.grid, sc.q
+    print(f"dt = {sc.dt:.2f} s, elements = {grid.nelem}")
+    cm.invoke(sc)
+    q = sc.q
+    du = q[..., 1:4] / q[..., :1] - q0[..., 1:4] / q0[..., :1]
+    drift = float(jnp.max(jnp.linalg.norm(du, axis=-1)))
+    print(f"finite: {bool(jnp.all(jnp.isfinite(q)))}   "
+          f"max |u - u0|: {drift:.3e} m/s of {u0:.0f} m/s jet")
+    assert bool(jnp.all(jnp.isfinite(q)))
+    assert drift < 0.05 * u0
+
+
+if __name__ == "__main__":
+    main()

@@ -43,16 +43,21 @@ def main():
 
     spec = cfg.model.prog_spec
     t = 0.0
-    for i in range(int(os.environ.get("STEPS", "30"))):
-        q, aux = imex.step(q, aux, t)
-        t += dt_im
-        bad = [name for j, name in enumerate(spec.flattened_names())
-               if not bool(jnp.all(jnp.isfinite(q[..., j])))]
-        mx = float(jnp.max(jnp.abs(q)))
-        if i % 5 == 0 or bad or i > 40:
-            print(f"step {i:3d}: max|q| = {mx:.3e}  nonfinite: {bad}",
-                  flush=True)
-        if bad:
+    chunk = int(os.environ.get("CHUNK", "10"))
+    for i in range(0, int(os.environ.get("STEPS", "30")), chunk):
+        for _ in range(chunk):
+            q, aux = imex.step(q, aux, t)
+            t += dt_im
+        # ONE fused fetch per chunk (tunnel round trips dominate)
+        mx, fin = jax.jit(lambda q: (jnp.max(jnp.abs(q)),
+                                     jnp.all(jnp.isfinite(q))))(q)
+        mx, fin = float(mx), bool(fin)
+        print(f"step {i + chunk:3d}: max|q| = {mx:.3e}  finite: {fin}",
+              flush=True)
+        if not fin:
+            bad = [name for j, name in enumerate(spec.flattened_names())
+                   if not bool(jnp.all(jnp.isfinite(q[..., j])))]
+            print(f"nonfinite fields: {bad}", flush=True)
             break
 
 
