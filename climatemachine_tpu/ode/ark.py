@@ -67,9 +67,10 @@ class AdditiveRungeKutta:
         if self._jit_impl is None:
             import jax
             self._jit_impl = jax.jit(self._step_impl)
-        return self._jit_impl(q, aux, t, self.dt, self._factors())
+        op_args = getattr(self.solver, "op_args", lambda: None)()
+        return self._jit_impl(q, aux, t, self.dt, self._factors(), op_args)
 
-    def _step_impl(self, q, aux, t, dt, factors):
+    def _step_impl(self, q, aux, t, dt, factors, op_args):
         # For an exact linear implicit solve, the implicit tendency
         # after the solve comes from the solver's ASSEMBLED operator
         # (apply_op): perfectly consistent with the factorization and
@@ -104,7 +105,7 @@ class AdditiveRungeKutta:
                     else:
                         Qi = self.solver.solve(rhs, gamma * dt, factors=fac)
                     if implied_G:
-                        G = self.solver.apply_op(Qi)
+                        G = self.solver.apply_op(Qi, op_args)
                 else:
                     Qi = rhs
             F, aux = self.rhs_ex(Qi, aux, ti)

@@ -168,12 +168,25 @@ class BlockTridiagColumnSolver:
                                         self.U[:, :-1], xb[:, 1:], precision=_HI))
         return y.reshape(self.layout.ncol, self.layout.Nv)
 
-    def apply_op(self, q):
+    def op_args(self):
+        """Operator arrays for ``apply_op`` — pass through jit as
+        ARGUMENTS (multi-GB; captured constants blow the remote-compile
+        payload limit, same reason prefactorize factors are threaded)."""
+        return (self.L, self.D, self.U, self.b_cols)
+
+    def apply_op(self, q, args=None):
         """L·q + b via the assembled block-tridiagonal operator — the
         implicit tendency consistent with the solve, one batched sweep
         of [ncol, nb, nb] MXU matvecs (no DG evaluation)."""
         lay = self.layout
-        yc = self._matvec(lay.to_columns(q)) + self.b_cols
+        L, D, U, b = args if args is not None else self.op_args()
+        xb = self._blk(lay.to_columns(q))
+        y = jnp.einsum("cvij,cvj->cvi", D, xb, precision=_HI)
+        y = y.at[:, 1:].add(jnp.einsum("cvij,cvj->cvi", L[:, 1:],
+                                       xb[:, :-1], precision=_HI))
+        y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi", U[:, :-1],
+                                        xb[:, 1:], precision=_HI))
+        yc = y.reshape(lay.ncol, lay.Nv) + b
         return lay.from_columns(yc)
 
     def _factor(self, alpha_dt: float):
@@ -258,13 +271,16 @@ class ManyColumnSolver:
 
     exact_linear_solve = True   # direct inverse: see BlockTridiag note
 
-    def apply_op(self, q):
+    def op_args(self):
+        return (self.A, self.b_cols)
+
+    def apply_op(self, q, args=None):
         """L·q + b via the assembled dense operator (see BlockTridiag
         note): one batched matvec."""
         lay = self.layout
+        A, b = args if args is not None else self.op_args()
         qc = lay.to_columns(q)
-        yc = jnp.einsum("cij,cj->ci", self.A, qc,
-                        precision=_HI) + self.b_cols
+        yc = jnp.einsum("cij,cj->ci", A, qc, precision=_HI) + b
         return lay.from_columns(yc)
 
     def __init__(self, op: Callable, layout: ColumnLayout, example_q):
