@@ -27,6 +27,24 @@ class StrongStabilityPreservingRungeKutta:
         return q, aux
 
 
+def SSPRK22Heuns(rhs, dt):
+    """Heun's method as 2-stage SSP RK2 (reference
+    StrongStabilityPreservingRungeKuttaMethod.jl:203)."""
+    return StrongStabilityPreservingRungeKutta(
+        rhs, dt,
+        RKA1=(1.0, 0.5), RKA2=(0.0, 0.5),
+        RKB=(1.0, 0.5), RKC=(0.0, 1.0))
+
+
+def SSPRK22Ralstons(rhs, dt):
+    """Ralston's 2nd-order SSP RK2 (reference
+    StrongStabilityPreservingRungeKuttaMethod.jl:234)."""
+    return StrongStabilityPreservingRungeKutta(
+        rhs, dt,
+        RKA1=(1.0, 5.0 / 8.0), RKA2=(0.0, 3.0 / 8.0),
+        RKB=(2.0 / 3.0, 3.0 / 4.0), RKC=(0.0, 2.0 / 3.0))
+
+
 def SSPRK33ShuOsher(rhs, dt):
     return StrongStabilityPreservingRungeKutta(
         rhs, dt,

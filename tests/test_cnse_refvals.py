@@ -98,3 +98,64 @@ def test_bickley_jet_reference_refvals(name, flux, periodic, nover):
     fields = _run_bickley(flux, periodic, nover)
     parr = {k: [min(float(d), 6.0) for d in v] for k, v in rv.parr.items()}
     check_parr(fields, getattr(rv, name), parr)
+
+
+def _run_buoyancy(elems, base_order, nsteps=100, dt=0.001):
+    """Reference test_buoyancy.jl: motionless stratified column with the
+    alpha-g buoyancy source, Roe flux, overintegration_order = 1,
+    SSPRK22Heuns."""
+    from climatemachine_tpu.cnse.three_dimensional import (
+        Buoyancy, BuoyancyColumn, CNSE3DModel, CNSE3DRoeNumericalFlux)
+    from climatemachine_tpu.mesh.filters import MassPreservingCutoffFilter
+    from climatemachine_tpu.mesh.topology import stacked_brick_topology
+    from climatemachine_tpu.ode.ssprk import SSPRK22Heuns
+
+    pi = np.pi
+    ranges = [np.linspace(-2 * pi, 2 * pi, elems + 1),
+              np.linspace(-2 * pi, 2 * pi, elems + 1),
+              np.linspace(0.0, 4 * pi, elems + 1)]
+    topo = stacked_brick_topology(
+        ranges, periodicity=(True, True, False),
+        boundary=np.array([[0, 0], [0, 0], [1, 1]]))
+    grid = make_grid(topo, base_order + 1, dtype=np.float64)
+    problem = BuoyancyColumn()
+    model = CNSE3DModel(problem, c_s=problem.c_s, advection="nonlinear",
+                        buoyancy=Buoyancy(alpha=1e-4, g=10.0))
+    dg = DGModel(model, grid,
+                 numerical_flux_first_order=CNSE3DRoeNumericalFlux())
+    q0, aux0 = init_ode_state(dg)
+
+    filt = MassPreservingCutoffFilter(grid, Nc=base_order + 1)
+    q0 = filt(q0)
+
+    def rhs(q, aux, t):
+        dq, aux = dg(q, aux, t)
+        return filt(dq), aux
+
+    solver = SSPRK22Heuns(rhs, dt)
+    step = jax.jit(solver.step)
+    q, aux, t = q0, aux0, 0.0
+    for _ in range(nsteps):
+        q, aux = step(q, aux, t)
+        t += dt
+    q = np.asarray(q)
+    s = model.prog_spec
+    return {
+        ("state", "rho"): _stats(s.get(q, "rho")),
+        ("state", "rhou[1]"): _stats(s.get(q, "rhou")[..., 0]),
+        ("state", "rhou[2]"): _stats(s.get(q, "rhou")[..., 1]),
+        ("state", "rhou[3]"): _stats(s.get(q, "rhou")[..., 2]),
+        ("state", "rhotheta"): _stats(s.get(q, "rhotheta")),
+    }
+
+
+@pytest.mark.parametrize("name,elems,order", [("second_order", 5, 2),
+                                              ("fourth_order", 3, 4)])
+def test_buoyancy_reference_refvals(name, elems, order):
+    """3-D CNSE buoyancy column vs the reference's shipped
+    refvals_buoyancy.jl (achieved agreement 6.6-15.7 digits; gated at
+    min(parr, 6))."""
+    rv = _load("buoyancy_3d.py")
+    fields = _run_buoyancy(elems, order)
+    parr = {k: [min(float(d), 6.0) for d in v] for k, v in rv.parr.items()}
+    check_parr(fields, getattr(rv, name), parr)
