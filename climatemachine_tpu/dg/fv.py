@@ -126,12 +126,56 @@ class DGFVModel(DGModel):
             # pressure side)
             p_bot = p_bot.at[..., sl_p].add(rgh)
             p_top = p_top.at[..., sl_p].add(-rgh)
+        aux_bot, aux_top = self._face_aux(aux)
         to_q = (bl.primitive_to_prognostic
                 if hasattr(bl, "primitive_to_prognostic") else None)
         flat = lambda x: x.reshape(Eh * nv, H, n)
         if to_q is not None:
-            return (to_q(flat(p_bot), aux), to_q(flat(p_top), aux))
-        return flat(p_bot), flat(p_top)
+            # convert with the FACE aux (reference
+            # construct_face_auxiliary_state!: Φ at the face height, so
+            # the energy gauge of both sides of an interface agrees)
+            return (to_q(flat(p_bot), aux_bot),
+                    to_q(flat(p_top), aux_top), aux_bot, aux_top)
+        return flat(p_bot), flat(p_top), aux_bot, aux_top
+
+    def _face_aux(self, aux):
+        """Cell aux extrapolated to the bottom/top faces: Φ at the face
+        height (reference DGFVModel_kernels.jl
+        construct_face_auxiliary_state!, prog_prim_conversion.jl:187)
+        and — beyond the reference — ref_state.p extrapolated
+        hydrostatically with ref_state.rho.  The flux machinery
+        subtracts aux.ref_state.p from the face pressure on EACH side;
+        with cell-valued references the wall faces see a spurious
+        ρgΔz/2 perturbation pressure (the one-sided telescope leaves
+        a measured ~ρg/2 ≈ 5 m/s² acceleration in the boundary cells
+        at Δz = 250 m); with face references a balanced column has
+        p′ = 0 on every face, walls included."""
+        g = self.grid
+        bl = self.balance_law
+        h = 2.0 * g.JcV                                    # [E, H]
+        aux_bot, aux_top = aux, aux
+        spec = getattr(bl, "aux_spec", None)
+        if spec is None:
+            return aux_bot, aux_top
+        try:
+            grav = bl.param_set.grav
+            Phi = spec.get(aux, "orientation.Phi")
+            aux_bot = spec.set(aux_bot, "orientation.Phi",
+                               Phi - 0.5 * grav * h)
+            aux_top = spec.set(aux_top, "orientation.Phi",
+                               Phi + 0.5 * grav * h)
+        except (KeyError, AttributeError):
+            pass
+        try:
+            grav = bl.param_set.grav
+            ref_p = spec.get(aux, "ref_state.p")
+            ref_rho = spec.get(aux, "ref_state.rho")
+            rgh = 0.5 * grav * ref_rho * h
+            aux_bot = spec.set(aux_bot, "ref_state.p", ref_p + rgh)
+            aux_top = spec.set(aux_top, "ref_state.p", ref_p - rgh)
+        except (KeyError, AttributeError):
+            pass
+        return aux_bot, aux_top
 
     def _gather_faces(self, x, faces):
         xM, xP = super()._gather_faces(x, faces)
@@ -147,28 +191,38 @@ class DGFVModel(DGModel):
 
         q = x[..., :nq]
         aux = x[..., nq:nq + naux]
-        q_bot, q_top = self._reconstruct_faces(q, aux)     # [E, H, nq]
+        q_bot, q_top, aux_bot, aux_top = \
+            self._reconstruct_faces(q, aux)                # [E, H, nq]
 
         nv = g.n_vert
         E = q.shape[0]
         fb, ft = 2 * g.dim - 2, 2 * g.dim - 1              # bottom, top
         ib, it = faces.index(fb), faces.index(ft)
 
-        # minus side: own reconstructed face values
+        # minus side: own reconstructed face values + face aux
         xM = xM.at[:, ib, :, :nq].set(q_bot)
         xM = xM.at[:, it, :, :nq].set(q_top)
+        xM = xM.at[:, ib, :, nq:nq + naux].set(aux_bot)
+        xM = xM.at[:, it, :, nq:nq + naux].set(aux_top)
         # plus side: neighbor's reconstructed values (roll along ev — also
         # correct for vertically periodic stacks); physical stack
         # boundaries (face_bctag != 0) keep the pre-BC copy of the minus
         # state, which _boundary_plus then overwrites with the ghost state
-        qb = q_bot.reshape(g.n_horz, nv, g.Np, nq)
-        qt = q_top.reshape(g.n_horz, nv, g.Np, nq)
-        below_top = jnp.roll(qt, 1, axis=1).reshape(E, g.Np, nq)
-        above_bot = jnp.roll(qb, -1, axis=1).reshape(E, g.Np, nq)
+        # (the face AUX at a wall stays the minus side's — the ghost
+        # shares the wall face's geometry)
+        roll = lambda a, k, w: jnp.roll(
+            a.reshape(g.n_horz, nv, g.Np, w), k, axis=1).reshape(
+                E, g.Np, w)
+        below_top = roll(q_top, 1, nq)
+        above_bot = roll(q_bot, -1, nq)
         wall_b = (g.face_bctag[:, fb] != 0)[:, None, None]
         wall_t = (g.face_bctag[:, ft] != 0)[:, None, None]
         xP = xP.at[:, ib, :, :nq].set(
             jnp.where(wall_b, q_bot, below_top))
         xP = xP.at[:, it, :, :nq].set(
             jnp.where(wall_t, q_top, above_bot))
+        xP = xP.at[:, ib, :, nq:nq + naux].set(
+            jnp.where(wall_b, aux_bot, roll(aux_top, 1, naux)))
+        xP = xP.at[:, it, :, nq:nq + naux].set(
+            jnp.where(wall_t, aux_top, roll(aux_bot, -1, naux)))
         return xM, xP

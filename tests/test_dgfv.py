@@ -165,3 +165,65 @@ def test_prog_prim_roundtrip(moist):
 
     q2 = model.primitive_to_prognostic(prim, aux)
     assert np.allclose(np.asarray(q2), np.asarray(q), rtol=1e-5, atol=1e-8)
+
+
+def test_dgfv_hydrostatic_balance_with_walls():
+    """A hydrostatically-balanced atmosphere at rest on the FV-vertical
+    path must STAY at rest, including the boundary cells.
+
+    Regression for the wall-face imbalance: with cell-valued auxiliary
+    references at the vertical faces, the one-sided telescope of the
+    subtract-off pressure leaves a rho*g*dz/2 perturbation pressure at
+    the stack walls (measured ~5 m/s^2 spurious acceleration in the
+    boundary cells at dz = 250 m).  The face-extrapolated auxiliary
+    state (Phi and ref_state.p at the face height, fv.py _face_aux)
+    reduces the rest-state tendency by ~70x and the drift to mm/s."""
+    from climatemachine_tpu import driver_api as cm
+    from climatemachine_tpu.dg.fv import HBFVReconstruction
+    from climatemachine_tpu.mesh.grid import min_node_distance
+
+    ps = cm.EARTH
+    t3 = topo.stacked_brick_topology(
+        [np.linspace(0, 10000, 5), np.linspace(0, 500, 2),
+         np.linspace(0, 10000, 41)],
+        periodicity=(True, True, False),
+        boundary=np.array([[0, 0], [0, 0], [1, 2]]))
+    grid = make_grid(t3, (4, 4, 0), dtype=np.float64)
+    physics = cm.AtmosPhysics(
+        param_set=ps,
+        ref_state=cm.HydrostaticState(cm.DryAdiabaticProfile(300.0, 0.0)),
+        turbulence=cm.ConstantKinematicViscosity(0.0))
+
+    def init(m, coords, aux, t):
+        s = m.aux_spec
+        return m.prog_spec.pack(
+            {"rho": s.get(aux, "ref_state.rho"),
+             "rhoe": s.get(aux, "ref_state.rhoe")},
+            batch_shape=s.get(aux, "ref_state.rho").shape)
+
+    model = cm.AtmosModel(
+        physics,
+        cm.AtmosProblem(init_state=init,
+                        boundary_conditions=(cm.AtmosBC(), cm.AtmosBC())),
+        sources=(cm.Gravity(),))
+    dg = DGFVModel(model, grid,
+                   reconstruction=HBFVReconstruction(model, FVLinear()),
+                   numerical_flux_first_order=cm.RoeNumericalFlux())
+    q, aux = init_ode_state(dg)
+
+    tend, _ = dg(q, aux, 0.0)
+    # rhou tendency ~ rho * accel: the broken scheme gives ~5 (m/s^2
+    # scale); the balanced one the O(dz^2) curvature residual ~0.08
+    assert float(jnp.max(jnp.abs(tend))) < 0.5
+
+    dt = 0.2 * float(min_node_distance(grid)) / 350.0
+    solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+    step = jax.jit(solver.step)
+    t = 0.0
+    for _ in range(100):
+        q, aux = step(q, aux, t)
+        t += dt
+    w = model.prog(q, "rhou")[..., 2] / model.prog(q, "rho")
+    assert bool(jnp.all(jnp.isfinite(q)))
+    # broken scheme: ~10 m/s within seconds; balanced: sub-mm/s
+    assert float(jnp.max(jnp.abs(w))) < 1e-2
