@@ -71,17 +71,27 @@ class AdditiveRungeKutta:
         return self._jit_impl(q, aux, t, self.dt, self._factors(), op_args)
 
     def _step_impl(self, q, aux, t, dt, factors, op_args):
-        # For an exact linear implicit solve, the implicit tendency
-        # after the solve comes from the solver's ASSEMBLED operator
-        # (apply_op): perfectly consistent with the factorization and
-        # cheaper than a vertical DG evaluation.  (The algebraic
-        # identity L·Qi = (Qi − rhs)/(γ·dt) — the reference's
-        # LowStorageVariant, AdditiveRungeKuttaMethod.jl:264-415 — is
-        # avoided: its f32 cancellation noise ~eps·|Q|/(γ·dt)
-        # destabilizes the benchmark-scale HEVI step.)  JFNK stages are
-        # only approximate and keep the explicit evaluation.
-        implied_G = (getattr(self.solver, "exact_linear_solve", False)
-                     and hasattr(self.solver, "apply_op"))
+        # Implicit tendency after a solve — solver.implied_g selects
+        # among three equivalents (A/B'd at benchmark scale on TPU f32,
+        # scripts/tpu_imex_profile.py / tpu_implied_g_ab.py):
+        #   "identity": G = (Qi − rhs)/(γ·dt), the reference's
+        #       LowStorageVariant (AdditiveRungeKuttaMethod.jl:264-415).
+        #       Cheapest (106 ms/step at bench scale) but UNSTABLE in
+        #       f32: NaN within 50 benchmark-scale steps
+        #       (scripts/tpu_implied_g_ab.py; re-measured round 3 after
+        #       the Precision.HIGHEST solver fix — the instability is
+        #       intrinsic to the subtraction, not the round-2 solver
+        #       bug).  Safe only in f64.
+        #   "op": assembled-operator matvec (apply_op) — exact round-off
+        #       consistency with the factorization; the [ncol, nv, 5, 5]
+        #       block matvec pads its tiny axes on the MXU (~39 ms
+        #       standalone at bench scale but overlaps well in-step).
+        #   "dg": vertical DG evaluation (rhs_im).
+        mode = getattr(self.solver, "implied_g", "op")
+        exact = (getattr(self.solver, "exact_linear_solve", False)
+                 and hasattr(self.solver, "apply_op"))
+        implied_G = exact and mode == "op"
+        identity_G = exact and mode == "identity"
         Fs, Gs = [], []
         Qi = q
         for i in range(self.nstages):
@@ -106,6 +116,8 @@ class AdditiveRungeKutta:
                         Qi = self.solver.solve(rhs, gamma * dt, factors=fac)
                     if implied_G:
                         G = self.solver.apply_op(Qi, op_args)
+                    elif identity_G:
+                        G = (Qi - rhs) / (gamma * dt)
                 else:
                     Qi = rhs
             F, aux = self.rhs_ex(Qi, aux, ti)

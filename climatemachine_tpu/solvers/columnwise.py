@@ -126,6 +126,16 @@ class BlockTridiagColumnSolver:
         # route responses into lower/diag/upper blocks: source element for
         # response row ev' under comb residue r is the unique ev in the
         # window with ev % 3 == r (host-side index computation)
+        #
+        # TPU layout: blocks are stored [nv, nb_i, nb_j, ncol] — the big
+        # ncol axis LAST (lanes).  In the natural [ncol, nv, nb, nb]
+        # layout every block matvec is a batch of tiny nb×nb (25×25)
+        # MXU dots whose contraction axis pads to the 128-lane tile
+        # (~14x HBM inflation: the 2.3 GB operator streamed as ~30 GB —
+        # measured 39 ms for a 2.8 ms-of-light matvec).  With ncol on
+        # lanes the same contraction is an UNROLLED elementwise
+        # multiply-sum on the VPU at full bandwidth, and f32 elementwise
+        # never downcasts to bf16 (the _HI concern applies to MXU dots).
         blocks = {}
         for d in (-1, 0, 1):
             rows = []
@@ -135,9 +145,33 @@ class BlockTridiagColumnSolver:
                     rows.append(R[src % 3, :, ev])
                 else:
                     rows.append(jnp.zeros((lay.ncol, nb, nb), dtype=dtype))
-            blocks[d] = jnp.stack(rows, axis=1)          # [ncol, nv, nb, nb]
+            blk = jnp.stack(rows, axis=1)                # [ncol, nv, nb, nb]
+            blocks[d] = jnp.transpose(blk, (1, 2, 3, 0))  # [nv, i, j, ncol]
         self.L, self.D, self.U = blocks[-1], blocks[0], blocks[1]
         self._cached = {}
+
+        # Inactive-unknown compression: block indices whose row AND
+        # column vanish in every block (e.g. horizontal momentum under
+        # the vertical acoustic-gravity linear model — 2 of 5 vars)
+        # are solved trivially (q_m = rhs_m, incl. the αdt·b affine
+        # part) and sliced OUT of the blocks: the streamed operator/
+        # factor bytes drop by (s/nb)² (25→15 rows ⇒ 2.3 GB → 0.83 GB
+        # at benchmark scale).
+        import numpy as np
+        pat = np.asarray(jnp.max(
+            jnp.abs(self.L) + jnp.abs(self.D) + jnp.abs(self.U),
+            axis=(0, 3)))                                # [nb, nb]
+        active = (pat.max(axis=1) > 0) | (pat.max(axis=0) > 0)
+        self._sel = np.flatnonzero(active)
+        self._unsel = np.flatnonzero(~active)
+        if 0 < len(self._sel) < nb:
+            s = jnp.asarray(self._sel)
+            comp = lambda B: B[:, s][:, :, s]
+            self.Lc, self.Dc, self.Uc = map(comp, (self.L, self.D, self.U))
+        else:
+            self._sel = np.arange(nb)
+            self._unsel = np.arange(0)
+            self.Lc, self.Dc, self.Uc = self.L, self.D, self.U
 
         if check:
             # a wider-than-tridiagonal stencil (e.g. a second-order
@@ -157,47 +191,64 @@ class BlockTridiagColumnSolver:
                     "use the dense ManyColumnSolver")
 
     def _blk(self, xc):
-        return xc.reshape(self.layout.ncol, self.layout.n_vert, self.nb)
+        """[ncol, Nv] -> [nv, nb, ncol] (ncol on lanes)."""
+        xb = xc.reshape(self.layout.ncol, self.layout.n_vert, self.nb)
+        return jnp.transpose(xb, (1, 2, 0))
+
+    @staticmethod
+    def _bmv(M, v):
+        """Block matvec in lanes-major layout: M [.., i, j, ncol] ·
+        v [.., j, ncol] -> [.., i, ncol] as a fused VPU multiply-sum
+        (f32-exact; no MXU tile padding)."""
+        return (M * v[..., None, :, :]).sum(-2)
 
     def _matvec(self, xc):
-        xb = self._blk(xc)
-        y = jnp.einsum("cvij,cvj->cvi", self.D, xb, precision=_HI)
-        y = y.at[:, 1:].add(jnp.einsum("cvij,cvj->cvi",
-                                       self.L[:, 1:], xb[:, :-1], precision=_HI))
-        y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi",
-                                        self.U[:, :-1], xb[:, 1:], precision=_HI))
-        return y.reshape(self.layout.ncol, self.layout.Nv)
+        xb = self._blk(xc)                               # [nv, nb, ncol]
+        y = self._bmv(self.D, xb)
+        y = y.at[1:].add(self._bmv(self.L[1:], xb[:-1]))
+        y = y.at[:-1].add(self._bmv(self.U[:-1], xb[1:]))
+        return jnp.transpose(y, (2, 0, 1)).reshape(self.layout.ncol,
+                                                   self.layout.Nv)
 
     def op_args(self):
         """Operator arrays for ``apply_op`` — pass through jit as
         ARGUMENTS (multi-GB; captured constants blow the remote-compile
         payload limit, same reason prefactorize factors are threaded)."""
-        return (self.L, self.D, self.U, self.b_cols)
+        return (self.Lc, self.Dc, self.Uc, self.b_cols)
 
     def apply_op(self, q, args=None):
         """L·q + b via the assembled block-tridiagonal operator — the
-        implicit tendency consistent with the solve, one batched sweep
-        of [ncol, nb, nb] MXU matvecs (no DG evaluation)."""
+        implicit tendency consistent with the solve, one lanes-major
+        block-tridiagonal sweep over the ACTIVE unknowns (inactive rows
+        are zero by construction; no DG evaluation)."""
         lay = self.layout
         L, D, U, b = args if args is not None else self.op_args()
         xb = self._blk(lay.to_columns(q))
-        y = jnp.einsum("cvij,cvj->cvi", D, xb, precision=_HI)
-        y = y.at[:, 1:].add(jnp.einsum("cvij,cvj->cvi", L[:, 1:],
-                                       xb[:, :-1], precision=_HI))
-        y = y.at[:, :-1].add(jnp.einsum("cvij,cvj->cvi", U[:, :-1],
-                                        xb[:, 1:], precision=_HI))
-        yc = y.reshape(lay.ncol, lay.Nv) + b
+        xs = xb[:, jnp.asarray(self._sel)]
+        y = self._bmv(D, xs)
+        y = y.at[1:].add(self._bmv(L[1:], xs[:-1]))
+        y = y.at[:-1].add(self._bmv(U[:-1], xs[1:]))
+        yf = jnp.zeros_like(xb).at[:, jnp.asarray(self._sel)].set(y)
+        yc = jnp.transpose(yf, (2, 0, 1)).reshape(lay.ncol, lay.Nv) + b
         return lay.from_columns(yc)
 
     def _factor(self, alpha_dt: float):
         """Block-Thomas factorization of M = I − α·dt·A (reference
         band_lu_kernel!): store S⁻¹ (pivot-block inverses) and
-        C = S⁻¹·U' so each stage solve is two nv-step batched sweeps."""
-        nb = self.nb
-        eye = jnp.eye(nb, dtype=self.D.dtype)
-        Dm = eye[None, None] - alpha_dt * self.D         # [ncol, nv, nb, nb]
-        Lm = -alpha_dt * self.L
-        Um = -alpha_dt * self.U
+        C = S⁻¹·U' so each stage solve is two nv-step batched sweeps.
+
+        Runs once per dt (eager); internally uses the [.., s, s]
+        square layout that jnp.linalg.inv needs, then transposes the
+        results to the lanes-major [nv, i, j, ncol] layout the solve
+        sweeps consume.  Operates on the ACTIVE-unknown compression
+        (inactive rows solve trivially in ``solve``)."""
+        s = len(self._sel)
+        # [nv, i, j, ncol] -> [nv, ncol, i, j] for inv/matmul
+        sq = lambda a: jnp.transpose(a, (0, 3, 1, 2))
+        eye = jnp.eye(s, dtype=self.D.dtype)
+        Dm = eye[None, None] - alpha_dt * sq(self.Dc)    # [nv, ncol, s, s]
+        Lm = -alpha_dt * sq(self.Lc)
+        Um = -alpha_dt * sq(self.Uc)
 
         def fwd(C_prev, ops):
             Dk, Lk, Uk = ops
@@ -206,12 +257,10 @@ class BlockTridiagColumnSolver:
             C = jnp.einsum("cij,cjk->cik", Sinv, Uk, precision=_HI)
             return C, (Sinv, C)
 
-        C0 = jnp.zeros_like(Dm[:, 0])
-        _, (Sinv, C) = jax.lax.scan(
-            fwd, C0, (jnp.swapaxes(Dm, 0, 1), jnp.swapaxes(Lm, 0, 1),
-                      jnp.swapaxes(Um, 0, 1)))
-        # [nv, ncol, nb, nb] each
-        return Sinv, C, jnp.swapaxes(Lm, 0, 1)
+        C0 = jnp.zeros_like(Dm[0])
+        _, (Sinv, C) = jax.lax.scan(fwd, C0, (Dm, Lm, Um))
+        lanes = lambda a: jnp.transpose(a, (0, 2, 3, 1))
+        return lanes(Sinv), lanes(C), lanes(Lm)          # [nv, i, j, ncol]
 
     def prefactorize(self, alpha_dt: float):
         """Factor eagerly (outside jit) — ESDIRK tableaus reuse one γ·dt
@@ -237,27 +286,31 @@ class BlockTridiagColumnSolver:
             fac = self._cached.get(float(alpha_dt))
         if fac is None:
             fac = self._factor(alpha_dt)
-        Sinv, C, Lm = fac
-        r = self._blk(lay.to_columns(rhs) + alpha_dt * self.b_cols)
-        rv = jnp.swapaxes(r, 0, 1)                       # [nv, ncol, nb]
+        Sinv, C, Lm = fac                                # [nv, i, j, ncol]
+        rv = self._blk(lay.to_columns(rhs)
+                       + alpha_dt * self.b_cols)         # [nv, nb, ncol]
+        sel = jnp.asarray(self._sel)
+        rs = rv[:, sel]                                  # active rows
+        bmv = self._bmv
 
         def fwd(y_prev, ops):
             Sinv_k, Lk, rk = ops
-            y = jnp.einsum("cij,cj->ci",
-                           Sinv_k, rk - jnp.einsum("cij,cj->ci", Lk, y_prev), precision=_HI)
+            y = bmv(Sinv_k, rk - bmv(Lk, y_prev))
             return y, y
 
-        y0 = jnp.zeros_like(rv[0])
-        _, ys = jax.lax.scan(fwd, y0, (Sinv, Lm, rv))
+        y0 = jnp.zeros_like(rs[0])
+        _, ys = jax.lax.scan(fwd, y0, (Sinv, Lm, rs))
 
         def bwd(x_next, ops):
             Ck, yk = ops
-            x = yk - jnp.einsum("cij,cj->ci", Ck, x_next, precision=_HI)
+            x = yk - bmv(Ck, x_next)
             return x, x
 
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(ys[-1]), (C, ys),
-                             reverse=True)
-        qc = jnp.swapaxes(xs, 0, 1).reshape(lay.ncol, lay.Nv)
+                             reverse=True)                # [nv, s, ncol]
+        # inactive rows have zero operator rows: q = rhs + αdt·b
+        out = rv.at[:, sel].set(xs)
+        qc = jnp.transpose(out, (2, 0, 1)).reshape(lay.ncol, lay.Nv)
         return lay.from_columns(qc)
 
 
