@@ -90,6 +90,14 @@ class AdditiveRungeKutta:
         mode = getattr(self.solver, "implied_g", "op")
         exact = (getattr(self.solver, "exact_linear_solve", False)
                  and hasattr(self.solver, "apply_op"))
+        if exact and mode == "op" and hasattr(self.solver, "solve_blocks"):
+            # block-layout fast path: solve, implicit tendencies and
+            # their stage/final accumulations all stay in the solver's
+            # [nv, nb, ncol] layout — 6 grid<->block transposes per step
+            # instead of 8 plus a vertical DG eval (each transpose of
+            # the 31 MB state costs ~3.2 ms at benchmark scale:
+            # scripts/tpu_applyop_dissect.py)
+            return self._step_blocks(q, aux, t, dt, factors, op_args)
         implied_G = exact and mode == "op"
         identity_G = exact and mode == "identity"
         Fs, Gs = [], []
@@ -129,6 +137,49 @@ class AdditiveRungeKutta:
         for i in range(self.nstages):
             if self.B[i]:
                 out = out + (dt * self.B[i]) * (Fs[i] + Gs[i])
+        return out, aux
+
+    def _step_blocks(self, q, aux, t, dt, factors, op_args):
+        """Exact-linear-solve stage loop with implicit tendencies kept
+        in the columnwise solver's block layout (see _step_impl)."""
+        sv = self.solver
+        lay = sv.layout
+        Fs, Gbs = [], []
+        Qi = q
+        for i in range(self.nstages):
+            ti = t + self.C[i] * dt
+            Gb = None
+            if i > 0:
+                rhs_g = q
+                for j in range(i):
+                    if self.A_ex[i, j]:
+                        rhs_g = rhs_g + (dt * self.A_ex[i, j]) * Fs[j]
+                rhs_b = lay.to_blocks(rhs_g)
+                for j in range(i):
+                    if self.A_im[i, j]:
+                        rhs_b = rhs_b + (dt * self.A_im[i, j]) * Gbs[j]
+                gamma = self.A_im[i, i]
+                if gamma:
+                    fac = None if factors is None else factors[float(gamma)]
+                    Qib = sv.solve_blocks(rhs_b, gamma * dt, factors=fac)
+                    Gb = sv.apply_op_blocks(Qib, op_args)
+                    Qi = lay.from_blocks(Qib)
+                else:
+                    Qi = lay.from_blocks(rhs_b)
+            F, aux = self.rhs_ex(Qi, aux, ti)
+            if Gb is None:
+                Gb = sv.apply_op_blocks(lay.to_blocks(Qi), op_args)
+            Fs.append(F)
+            Gbs.append(Gb)
+        out = q
+        Gacc = None
+        for i in range(self.nstages):
+            if self.B[i]:
+                out = out + (dt * self.B[i]) * Fs[i]
+                g = (dt * self.B[i]) * Gbs[i]
+                Gacc = g if Gacc is None else Gacc + g
+        if Gacc is not None:
+            out = out + lay.from_blocks(Gacc)
         return out, aux
 
 

@@ -70,6 +70,25 @@ class ColumnLayout:
         xb = jnp.transpose(xb, (0, 3, 4, 1, 2, 5))   # [Eh, ev, k, j, i, v]
         return xb.reshape(self.n_horz * self.n_vert, self.Np, self.nvars)
 
+    def to_blocks(self, x):
+        """[E, Np, n] -> [nv, nb, ncol] in ONE transpose (nb = (k, var),
+        ncol = (Eh, j, i)) — the lanes-major layout the block-tridiag
+        sweeps consume.  A to_columns + reshape/transpose chain costs a
+        second full shuffle that XLA cannot cancel once math sits in
+        between (measured 11.5 ms of pure data movement per apply_op at
+        benchmark scale)."""
+        Nq1, Nq2, Nq3 = self.Nq
+        xb = x.reshape(self.n_horz, self.n_vert, Nq3, Nq2, Nq1, self.nvars)
+        xb = jnp.transpose(xb, (1, 2, 5, 0, 3, 4))   # [ev, k, v, Eh, j, i]
+        return xb.reshape(self.n_vert, Nq3 * self.nvars,
+                          self.n_horz * Nq2 * Nq1)
+
+    def from_blocks(self, yb):
+        Nq1, Nq2, Nq3 = self.Nq
+        xb = yb.reshape(self.n_vert, Nq3, self.nvars, self.n_horz, Nq2, Nq1)
+        xb = jnp.transpose(xb, (3, 0, 1, 4, 5, 2))   # [Eh, ev, k, j, i, v]
+        return xb.reshape(self.n_horz * self.n_vert, self.Np, self.nvars)
+
 
 class BlockTridiagColumnSolver:
     """Scalable columnwise solve of (I − α·dt·L) via block-Thomas
@@ -103,7 +122,7 @@ class BlockTridiagColumnSolver:
         dtype = example_q.dtype
 
         zero = jnp.zeros_like(example_q)
-        self.b_cols = lay.to_columns(op(zero))          # affine part
+        self.b_cols = lay.to_blocks(op(zero))           # affine [nv, nb, ncol]
 
         # Period-3 comb probing: a unit vector at within-block index m of
         # every 3rd element; responses at element ev' disambiguate because
@@ -116,8 +135,8 @@ class BlockTridiagColumnSolver:
                             & (jnp.arange(nb)[None, :] == m), 1.0,
                             0.0).astype(dtype)          # [nv, nb]
             qc = jnp.broadcast_to(col.reshape(lay.Nv), (lay.ncol, lay.Nv))
-            resp = lay.to_columns(op(lay.from_columns(qc))) - self.b_cols
-            return resp.reshape(lay.ncol, nv, nb)
+            resp = lay.to_blocks(op(lay.from_columns(qc))) - self.b_cols
+            return jnp.transpose(resp, (2, 0, 1))       # [ncol, nv, nb]
 
         R = jax.lax.map(probe, jnp.arange(3 * nb))       # [3nb, ncol, nv, nb]
         R = R.reshape(3, nb, lay.ncol, nv, nb)
@@ -127,15 +146,17 @@ class BlockTridiagColumnSolver:
         # response row ev' under comb residue r is the unique ev in the
         # window with ev % 3 == r (host-side index computation)
         #
-        # TPU layout: blocks are stored [nv, nb_i, nb_j, ncol] — the big
-        # ncol axis LAST (lanes).  In the natural [ncol, nv, nb, nb]
-        # layout every block matvec is a batch of tiny nb×nb (25×25)
-        # MXU dots whose contraction axis pads to the 128-lane tile
-        # (~14x HBM inflation: the 2.3 GB operator streamed as ~30 GB —
-        # measured 39 ms for a 2.8 ms-of-light matvec).  With ncol on
-        # lanes the same contraction is an UNROLLED elementwise
-        # multiply-sum on the VPU at full bandwidth, and f32 elementwise
-        # never downcasts to bf16 (the _HI concern applies to MXU dots).
+        # TPU layout: blocks are stored [nv, nb_j, nb_i, ncol] — the
+        # big ncol axis LAST (lanes) and the CONTRACTION axis j leading.
+        # In the natural [ncol, nv, nb, nb] layout every block matvec is
+        # a batch of tiny 25×25 MXU dots whose contraction axis pads to
+        # the 128-lane tile (~14x HBM inflation: measured 39 ms for a
+        # 2.8 ms-of-light matvec).  With ncol on lanes and j leading the
+        # contraction accumulates over contiguous [i, ncol] slabs —
+        # measured 495-611 GB/s effective on v5e (vs 161 GB/s with j on
+        # sublanes, 47 GB/s for the MXU form; scripts/tpu_bmv_micro.py)
+        # — and f32 elementwise never downcasts to bf16 (the _HI
+        # concern applies to MXU dots).
         blocks = {}
         for d in (-1, 0, 1):
             rows = []
@@ -145,8 +166,8 @@ class BlockTridiagColumnSolver:
                     rows.append(R[src % 3, :, ev])
                 else:
                     rows.append(jnp.zeros((lay.ncol, nb, nb), dtype=dtype))
-            blk = jnp.stack(rows, axis=1)                # [ncol, nv, nb, nb]
-            blocks[d] = jnp.transpose(blk, (1, 2, 3, 0))  # [nv, i, j, ncol]
+            blk = jnp.stack(rows, axis=1)                # [ncol, nv, i, j]
+            blocks[d] = jnp.transpose(blk, (1, 3, 2, 0))  # [nv, j, i, ncol]
         self.L, self.D, self.U = blocks[-1], blocks[0], blocks[1]
         self._cached = {}
 
@@ -180,7 +201,7 @@ class BlockTridiagColumnSolver:
             key = jax.random.PRNGKey(0)
             x = jax.random.normal(key, example_q.shape, dtype=dtype)
             got = self._matvec(lay.to_columns(x))
-            want = lay.to_columns(op(x)) - self.b_cols
+            want = lay.to_columns(op(x)) - self._unblk(self.b_cols)
             scale = float(jnp.max(jnp.abs(want))) + 1e-300
             tol = 1e-4 if dtype == jnp.float32 else 1e-10
             err = float(jnp.max(jnp.abs(got - want)))
@@ -195,20 +216,24 @@ class BlockTridiagColumnSolver:
         xb = xc.reshape(self.layout.ncol, self.layout.n_vert, self.nb)
         return jnp.transpose(xb, (1, 2, 0))
 
+    def _unblk(self, yb):
+        """[nv, nb, ncol] -> [ncol, Nv]."""
+        return jnp.transpose(yb, (2, 0, 1)).reshape(self.layout.ncol,
+                                                    self.layout.Nv)
+
     @staticmethod
     def _bmv(M, v):
-        """Block matvec in lanes-major layout: M [.., i, j, ncol] ·
-        v [.., j, ncol] -> [.., i, ncol] as a fused VPU multiply-sum
-        (f32-exact; no MXU tile padding)."""
-        return (M * v[..., None, :, :]).sum(-2)
+        """Block matvec in contraction-outer layout: M [.., j, i, ncol]
+        · v [.., j, ncol] -> [.., i, ncol] as a fused VPU multiply-sum
+        over contiguous [i, ncol] slabs (f32-exact; no MXU padding)."""
+        return (M * v[..., :, None, :]).sum(-3)
 
     def _matvec(self, xc):
         xb = self._blk(xc)                               # [nv, nb, ncol]
         y = self._bmv(self.D, xb)
         y = y.at[1:].add(self._bmv(self.L[1:], xb[:-1]))
         y = y.at[:-1].add(self._bmv(self.U[:-1], xb[1:]))
-        return jnp.transpose(y, (2, 0, 1)).reshape(self.layout.ncol,
-                                                   self.layout.Nv)
+        return self._unblk(y)
 
     def op_args(self):
         """Operator arrays for ``apply_op`` — pass through jit as
@@ -216,21 +241,28 @@ class BlockTridiagColumnSolver:
         payload limit, same reason prefactorize factors are threaded)."""
         return (self.Lc, self.Dc, self.Uc, self.b_cols)
 
-    def apply_op(self, q, args=None):
-        """L·q + b via the assembled block-tridiagonal operator — the
-        implicit tendency consistent with the solve, one lanes-major
-        block-tridiagonal sweep over the ACTIVE unknowns (inactive rows
-        are zero by construction; no DG evaluation)."""
-        lay = self.layout
+    def apply_op_blocks(self, xb, args=None):
+        """L·x + b entirely in block layout [nv, nb, ncol] — lets the
+        ARK step keep implicit tendencies in the solver layout and skip
+        the ~3.2 ms/31 MB grid<->block transposes (the dominant cost of
+        the non-fused path; scripts/tpu_applyop_dissect.py)."""
         L, D, U, b = args if args is not None else self.op_args()
-        xb = self._blk(lay.to_columns(q))
-        xs = xb[:, jnp.asarray(self._sel)]
+        full = len(self._sel) == self.nb
+        xs = xb if full else xb[:, jnp.asarray(self._sel)]
         y = self._bmv(D, xs)
         y = y.at[1:].add(self._bmv(L[1:], xs[:-1]))
         y = y.at[:-1].add(self._bmv(U[:-1], xs[1:]))
-        yf = jnp.zeros_like(xb).at[:, jnp.asarray(self._sel)].set(y)
-        yc = jnp.transpose(yf, (2, 0, 1)).reshape(lay.ncol, lay.Nv) + b
-        return lay.from_columns(yc)
+        if not full:
+            y = jnp.zeros_like(xb).at[:, jnp.asarray(self._sel)].set(y)
+        return y + b
+
+    def apply_op(self, q, args=None):
+        """L·q + b via the assembled block-tridiagonal operator — the
+        implicit tendency consistent with the solve (no DG
+        evaluation)."""
+        lay = self.layout
+        return lay.from_blocks(self.apply_op_blocks(lay.to_blocks(q),
+                                                    args))
 
     def _factor(self, alpha_dt: float):
         """Block-Thomas factorization of M = I − α·dt·A (reference
@@ -243,8 +275,8 @@ class BlockTridiagColumnSolver:
         sweeps consume.  Operates on the ACTIVE-unknown compression
         (inactive rows solve trivially in ``solve``)."""
         s = len(self._sel)
-        # [nv, i, j, ncol] -> [nv, ncol, i, j] for inv/matmul
-        sq = lambda a: jnp.transpose(a, (0, 3, 1, 2))
+        # [nv, j, i, ncol] -> [nv, ncol, i, j] for inv/matmul
+        sq = lambda a: jnp.transpose(a, (0, 3, 2, 1))
         eye = jnp.eye(s, dtype=self.D.dtype)
         Dm = eye[None, None] - alpha_dt * sq(self.Dc)    # [nv, ncol, s, s]
         Lm = -alpha_dt * sq(self.Lc)
@@ -259,8 +291,8 @@ class BlockTridiagColumnSolver:
 
         C0 = jnp.zeros_like(Dm[0])
         _, (Sinv, C) = jax.lax.scan(fwd, C0, (Dm, Lm, Um))
-        lanes = lambda a: jnp.transpose(a, (0, 2, 3, 1))
-        return lanes(Sinv), lanes(C), lanes(Lm)          # [nv, i, j, ncol]
+        lanes = lambda a: jnp.transpose(a, (0, 3, 2, 1))
+        return lanes(Sinv), lanes(C), lanes(Lm)          # [nv, j, i, ncol]
 
     def prefactorize(self, alpha_dt: float):
         """Factor eagerly (outside jit) — ESDIRK tableaus reuse one γ·dt
@@ -286,11 +318,23 @@ class BlockTridiagColumnSolver:
             fac = self._cached.get(float(alpha_dt))
         if fac is None:
             fac = self._factor(alpha_dt)
-        Sinv, C, Lm = fac                                # [nv, i, j, ncol]
-        rv = self._blk(lay.to_columns(rhs)
-                       + alpha_dt * self.b_cols)         # [nv, nb, ncol]
-        sel = jnp.asarray(self._sel)
-        rs = rv[:, sel]                                  # active rows
+        Sinv, C, Lm = fac                                # [nv, j, i, ncol]
+        return lay.from_blocks(
+            self.solve_blocks(lay.to_blocks(rhs), alpha_dt, factors=fac))
+
+    def solve_blocks(self, rhs_b, alpha_dt, factors=None):
+        """Block-layout variant of :meth:`solve`: rhs and solution in
+        [nv, nb, ncol] (see apply_op_blocks)."""
+        lay = self.layout
+        fac = factors
+        if fac is None:
+            fac = self._cached.get(float(alpha_dt))
+        if fac is None:
+            fac = self._factor(alpha_dt)
+        Sinv, C, Lm = fac
+        rv = rhs_b + alpha_dt * self.b_cols              # [nv, nb, ncol]
+        full = len(self._sel) == self.nb
+        rs = rv if full else rv[:, jnp.asarray(self._sel)]
         bmv = self._bmv
 
         def fwd(y_prev, ops):
@@ -309,9 +353,7 @@ class BlockTridiagColumnSolver:
         _, xs = jax.lax.scan(bwd, jnp.zeros_like(ys[-1]), (C, ys),
                              reverse=True)                # [nv, s, ncol]
         # inactive rows have zero operator rows: q = rhs + αdt·b
-        out = rv.at[:, sel].set(xs)
-        qc = jnp.transpose(out, (2, 0, 1)).reshape(lay.ncol, lay.Nv)
-        return lay.from_columns(qc)
+        return xs if full else rv.at[:, jnp.asarray(self._sel)].set(xs)
 
 
 class ManyColumnSolver:
