@@ -45,35 +45,37 @@ def _dot(a, b):
                                precision=_HI)
 
 
-def _grad_part(x2, xi, wcat, nd, F):
+def _grad_part(x2, xi, wd, sel, nd, F):
     """x2 [R, Np] (R = Eb·n rows), xi [Eb, nd*3, Np] → (vol [Eb,3,n,Np]
-    list-of-c, rows [R, F])."""
-    Np = x2.shape[1]
-    cat = _dot(x2, wcat)                              # [R, nd*Np + F]
+    list-of-c, rows [R, F]).  One dot per derivative axis + one for the
+    face extraction: Mosaic rejects reshapes that split the lane axis
+    (the fused [Np, nd*Np+F] operator needed cat[:, :nd*Np].reshape(...,
+    nd, Np)), and inside VMEM the fusion saves nothing."""
     Eb = xi.shape[0]
     n = x2.shape[0] // Eb
-    d = cat[:, :nd * Np].reshape(Eb, n, nd, Np)
-    rows = cat[:, nd * Np:]
+    Np = x2.shape[1]
+    rows = _dot(x2, sel)
+    d = [_dot(x2, wd[ai]).reshape(Eb, n, Np) for ai in range(nd)]
     vol = []
     for c in range(3):
-        acc = xi[:, c, :][:, None, :] * d[:, :, 0, :]
+        acc = xi[:, c, :][:, None, :] * d[0]
         for ai in range(1, nd):
-            acc += xi[:, ai * 3 + c, :][:, None, :] * d[:, :, ai, :]
+            acc += xi[:, ai * 3 + c, :][:, None, :] * d[ai]
         vol.append(acc)
     return vol, rows
 
 
-def _k_first(x_ref, xi_ref, wcat_ref, vol_ref, rows_ref, *, nd, F):
+def _k_first(x_ref, xi_ref, wd_ref, sel_ref, vol_ref, rows_ref, *, nd, F):
     Eb, n, Np = x_ref.shape
     vol, rows = _grad_part(x_ref[...].reshape(Eb * n, Np), xi_ref[...],
-                           wcat_ref[...], nd, F)
+                           wd_ref[...], sel_ref[...], nd, F)
     for c in range(3):
         vol_ref[:, c] = vol[c]
     rows_ref[...] = rows.reshape(Eb, n, F)
 
 
 def _k_grad_to_div(vol_ref, dj_ref, w3_ref, nrm_ref, mi_ref, lt_ref,
-                   xi_ref, wcat_ref, div_ref, s_ref, *, nd, F):
+                   xi_ref, wd_ref, sel_ref, div_ref, s_ref, *, nd, F):
     Eb, _, n, Np = vol_ref.shape
     # pass-1 lift: grad_c = vol_c + MI · (w3_c ⊙ dj) @ LT, all in VMEM
     prod = w3_ref[...][:, :, None, :] * dj_ref[...][:, None, :, :]
@@ -81,15 +83,15 @@ def _k_grad_to_div(vol_ref, dj_ref, w3_ref, nrm_ref, mi_ref, lt_ref,
     grad = (vol_ref[...].reshape(Eb, 3 * n, Np)
             + mi_ref[...][:, None, :] * corr.reshape(Eb, 3 * n, Np))
     # pass-2 volume: divergence + n·v face scalars
-    cat = _dot(grad.reshape(Eb * 3 * n, Np), wcat_ref[...])
-    dv = cat[:, :nd * Np].reshape(Eb, 3, n, nd, Np)
+    g2 = grad.reshape(Eb * 3 * n, Np)
     xi = xi_ref[...]
-    div = jnp.zeros((Eb, n, Np), dv.dtype)
+    div = jnp.zeros((Eb, n, Np), grad.dtype)
     for ai in range(nd):
+        dv = _dot(g2, wd_ref[ai]).reshape(Eb, 3, n, Np)
         for c in range(3):
-            div += xi[:, ai * 3 + c, :][:, None, :] * dv[:, c, :, ai, :]
+            div += xi[:, ai * 3 + c, :][:, None, :] * dv[:, c]
     div_ref[...] = div
-    rows3 = cat[:, nd * Np:].reshape(Eb, 3, n, F)
+    rows3 = _dot(g2, sel_ref[...]).reshape(Eb, 3, n, F)
     nrm = nrm_ref[...]
     s_ref[...] = (nrm[:, 0][:, None, :] * rows3[:, 0]
                   + nrm[:, 1][:, None, :] * rows3[:, 1]
@@ -97,14 +99,14 @@ def _k_grad_to_div(vol_ref, dj_ref, w3_ref, nrm_ref, mi_ref, lt_ref,
 
 
 def _k_div_to_grad(div_ref, dj2_ref, sm_ref, mi_ref, lt_ref, xi_ref,
-                   wcat_ref, vol_ref, rows_ref, *, nd, F):
+                   wd_ref, sel_ref, vol_ref, rows_ref, *, nd, F):
     Eb, n, Np = div_ref.shape
     # pass-2 lift: lap = div + MI · (sM ⊙ dj₂) @ LT
     prod = sm_ref[...][:, None, :] * dj2_ref[...]
     corr = _dot(prod.reshape(Eb * n, F), lt_ref[...])
     lap = div_ref[...] + mi_ref[...][:, None, :] * corr.reshape(Eb, n, Np)
     vol, rows = _grad_part(lap.reshape(Eb * n, Np), xi_ref[...],
-                           wcat_ref[...], nd, F)
+                           wd_ref[...], sel_ref[...], nd, F)
     for c in range(3):
         vol_ref[:, c] = vol[c]
     rows_ref[...] = rows.reshape(Eb, n, F)
@@ -129,7 +131,7 @@ def _specs(block_e, shapes, statics):
                                 lambda i, nl=nl: (i,) + (0,) * nl,
                                 memory_space=pltpu.VMEM))
     for s in statics:
-        out.append(pl.BlockSpec(s, lambda i: (0,) * len(s),
+        out.append(pl.BlockSpec(s, lambda i, r=len(s): (0,) * r,
                                 memory_space=pltpu.VMEM))
     return out
 
@@ -170,7 +172,9 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
     w3 = sMf * nrm                                       # [E, 3, F]
     xi = xi4.reshape(E, nd * 3, Np)                      # slot ai*3+c
     MI = g.MI                                            # [E, Np]
-    Wcat = _lvm._Wcat_for(dg, tab, dims)                 # [Np, nd*Np+F]
+    W = _lvm._W_for(dg, dims)                            # [nd*Np, Np]
+    Wd = jnp.swapaxes(W.reshape(nd, Np, Np), 1, 2)       # [nd, Np, Np]
+    Sel = jnp.asarray(tab["SelT"])                       # [Np, F]
     LT = jnp.asarray(tab["LT"])                          # [F, Np]
     sign = jnp.asarray(tab["sign"])[:, None, :]          # [E, 1, F]
 
@@ -179,7 +183,8 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
     k1 = pl.pallas_call(
         functools.partial(_k_first, nd=nd, F=F),
         grid=grid_spec,
-        in_specs=_specs(be, [(n, Np), (nd * 3, Np)], [(Np, nd * Np + F)]),
+        in_specs=_specs(be, [(n, Np), (nd * 3, Np)],
+                        [(nd, Np, Np), (Np, F)]),
         out_specs=[pl.BlockSpec((be, 3, n, Np), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((be, n, F), lambda i: (i, 0, 0),
@@ -187,7 +192,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
         out_shape=[jax.ShapeDtypeStruct((E, 3, n, Np), dt),
                    jax.ShapeDtypeStruct((E, n, F), dt)],
         interpret=interpret)
-    vol1, rows1 = k1(xv, xi, Wcat)
+    vol1, rows1 = k1(xv, xi, Wd, Sel)
 
     rows1P = _lvm._exchange(rows1, tab, E, n, nfa, Nfp)
     dj1 = 0.5 * (rows1P - rows1)
@@ -197,7 +202,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
         grid=grid_spec,
         in_specs=_specs(be, [(3, n, Np), (n, F), (3, F), (3, F), (Np,)],
                         [(F, Np)]) + _specs(be, [(nd * 3, Np)],
-                                            [(Np, nd * Np + F)]),
+                                            [(nd, Np, Np), (Np, F)]),
         out_specs=[pl.BlockSpec((be, n, Np), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((be, n, F), lambda i: (i, 0, 0),
@@ -205,7 +210,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
         out_shape=[jax.ShapeDtypeStruct((E, n, Np), dt),
                    jax.ShapeDtypeStruct((E, n, F), dt)],
         interpret=interpret)
-    div, s = k2(vol1, dj1, w3, nrm, MI, LT, xi, Wcat)
+    div, s = k2(vol1, dj1, w3, nrm, MI, LT, xi, Wd, Sel)
 
     sP = _lvm._exchange(s, tab, E, n, nfa, Nfp)
     dj2 = 0.5 * (sign * sP - s)
@@ -214,7 +219,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
         functools.partial(_k_div_to_grad, nd=nd, F=F),
         grid=grid_spec,
         in_specs=_specs(be, [(n, Np), (n, F), (F,), (Np,)], [(F, Np)])
-        + _specs(be, [(nd * 3, Np)], [(Np, nd * Np + F)]),
+        + _specs(be, [(nd * 3, Np)], [(nd, Np, Np), (Np, F)]),
         out_specs=[pl.BlockSpec((be, 3, n, Np), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((be, n, F), lambda i: (i, 0, 0),
@@ -222,7 +227,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
         out_shape=[jax.ShapeDtypeStruct((E, 3, n, Np), dt),
                    jax.ShapeDtypeStruct((E, n, F), dt)],
         interpret=interpret)
-    vol3, rows3 = k3(div, dj2, sM, MI, LT, xi, Wcat)
+    vol3, rows3 = k3(div, dj2, sM, MI, LT, xi, Wd, Sel)
 
     rows3P = _lvm._exchange(rows3, tab, E, n, nfa, Nfp)
     dj3 = 0.5 * (rows3P - rows3)
