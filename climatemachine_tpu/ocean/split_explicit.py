@@ -213,7 +213,7 @@ class SplitExplicitSolver:
         # hence filters Q twice per stage) but skips the transfers
         # (reference Communication.jl dispatches to no-ops for Uncoupled)
         self.coupled = coupled
-        assert variant in ("new", "split01")
+        assert variant in ("new", "split01", "split01_3n")
         self.variant = variant
         self.cols = ColumnOps(dg3.grid)
         self.H = dg3.balance_law.problem.H
@@ -234,6 +234,8 @@ class SplitExplicitSolver:
             jnp.broadcast_to(f2[:, None, None, :, :], sh))
 
     def step(self, q, aux, t):
+        if self.variant == "split01_3n":
+            return self._step_split01_3n(q, aux, t)
         q3, q2 = q
         aux3, aux2 = aux
         m3 = self.dg3.balance_law
@@ -375,6 +377,143 @@ class SplitExplicitSolver:
         # loop (SplitExplicitLSRK2nMethod.jl:218-264)
         n_impl = getattr(m3, "num_impl_steps", 0)
         if split01 and n_impl > 0:
+            from climatemachine_tpu.ocean.ivdc import ivdc_solve
+            for _ in range(n_impl):
+                q3 = ivdc_solve(m3, self.dg3, q3, aux3, m3.ivdc_dt)
+        return (q3, q2), (aux3, aux2)
+
+    def _step_split01_3n(self, q, aux, t):
+        """Reference SplitExplicit01/SplitExplicitLSRK3nMethod.jl +
+        Communication.jl set_fast_for_stepping! (:8-:88): the slow model
+        walks the LowStorageRungeKutta3N two-register recurrence
+        (LS3NRK33Heuns); the fast windows are scheduled on the LCM-12
+        grid of the RK coefficients, the stage-1 window start saves the
+        original fast state (S_fast), middle stages RESTART from it, and
+        the last stage starts at the RKW[1] weight offset from the
+        mid-window save."""
+        import math
+        q3, q2 = q
+        aux3, aux2 = aux
+        m3 = self.dg3.balance_law
+        m2 = self.dg2.balance_law
+        slow = self.slow                 # LowStorageRungeKutta3N
+        dt = self.dt
+        add = getattr(m3, "add_fast_substeps", 0)
+        rkA, rkB = slow.RKA, slow.RKB
+        rkC, rkW = slow.RKC, slow.RKW
+        nst = slow.nstages
+        u_sl = m3.prog_spec.index("u")
+
+        # LCM-12 fast grid (set_fast_for_stepping!:31-35)
+        steps0 = max(math.ceil(dt / self.fast_dt / 12.0), 1)
+        ntsFull = 12 * steps0
+        fast_dt_full = dt / ntsFull
+        add_steps = (ntsFull // add) if add > 0 else 0
+
+        dq3 = dr3 = None
+        S2 = None
+        for s in range(nst):
+            t_stage = t + rkC[s] * dt
+            if s == nst - 1:
+                t0f = rkW[0] * dt
+                fract = 1.0 - rkW[0]
+                save_flag = 1
+            else:
+                t0f = 0.0
+                fract = float(rkC[s + 1])
+                save_flag = 0
+            steps = max(math.ceil(fract * dt / fast_dt_full), 1)
+            addc = min(add_steps, steps - 1)
+            k_lo, k_hi = steps - addc, steps + addc
+            k_save = save_flag * steps
+            if s == 0:
+                k_save = int(round(ntsFull * rkW[0]))
+            fast_dt = fract * dt / steps
+
+            # fast-state select (set_fast_for_stepping!:72-81)
+            if s == 0:
+                S2 = q2
+            elif s == nst - 1:
+                q2 = m2.prog_spec.set(q2, "U", m2.aux_get(aux2, "U_s"))
+                q2 = m2.prog_spec.set(q2, "eta",
+                                      m2.aux_get(aux2, "eta_s"))
+            else:
+                q2 = S2
+
+            aux2 = m2.aux_spec.set(
+                aux2, "U_c", jnp.zeros_like(m2.aux_get(aux2, "U_c")))
+            aux2 = m2.aux_spec.set(
+                aux2, "eta_c", jnp.zeros_like(m2.aux_get(aux2, "eta_c")))
+            aux3 = m3.aux_spec.set(
+                aux3, "dGu", jnp.zeros_like(m3.aux_get(aux3, "dGu")))
+
+            # transfer tendency (tendency_from_slow_to_fast!)
+            q3 = self.dg3.pre_stage(q3, aux3, t_stage)
+            tend3, aux3 = self.dg3(q3, aux3, t_stage)
+            int_du = self._col_total_2d(tend3[..., u_sl])
+            aux2 = m2.aux_spec.set(aux2, "GU", int_du)
+            aux3 = m3.aux_spec.set(aux3, "dGu",
+                                   -self._to_3d(int_du) / self.H)
+
+            # slow 3N register walk (LowStorageRungeKutta3NMethod.jl
+            # update! :201: dQ += f; Q += b1 dt dQ + b2 dt dR;
+            # dR += a2 dQ; dQ *= a1) — update BEFORE the fast window
+            # (SplitExplicitLSRK3nMethod.jl:179-196)
+            q3 = self.dg3.pre_stage(q3, aux3, t_stage)
+            tend3, aux3 = self.dg3(q3, aux3, t_stage)
+            dq3 = tend3 if dq3 is None else dq3 + tend3
+            q3 = q3 + (rkB[s, 0] * dt) * dq3
+            if dr3 is not None and rkB[s, 1]:
+                q3 = q3 + (rkB[s, 1] * dt) * dr3
+            a2 = rkA[(s + 1) % nst, 1]
+            if a2:
+                dr3 = a2 * dq3 if dr3 is None else dr3 + a2 * dq3
+            dq3 = rkA[(s + 1) % nst, 0] * dq3
+
+            # fast substepping over the scheduled window
+            self.fast.dt = fast_dt
+            count = 0.0
+            for sub in range(1, k_hi + 1):
+                tf = t + t0f + (sub - 1) * fast_dt
+                q2, aux2 = self.fast.step(q2, aux2, tf)
+                if sub >= k_lo:
+                    aux2 = m2.aux_spec.set(
+                        aux2, "U_c",
+                        m2.aux_get(aux2, "U_c") + m2.prog(q2, "U"))
+                    aux2 = m2.aux_spec.set(
+                        aux2, "eta_c",
+                        m2.aux_get(aux2, "eta_c") + m2.prog(q2, "eta"))
+                    count += 1.0
+                if sub == k_save:
+                    aux2 = m2.aux_spec.set(aux2, "U_s",
+                                           m2.prog(q2, "U"))
+                    aux2 = m2.aux_spec.set(aux2, "eta_s",
+                                           m2.prog(q2, "eta"))
+
+            # reconcile (same as split01)
+            U_c = m2.aux_get(aux2, "U_c") / count
+            eta_c = m2.aux_get(aux2, "eta_c") / count
+            aux2 = m2.aux_spec.set(aux2, "U_c", U_c)
+            aux2 = m2.aux_spec.set(aux2, "eta_c", eta_c)
+            int_u = self._col_total_2d(q3[..., u_sl])
+            du = (U_c - int_u) / self.H
+            aux2 = m2.aux_spec.set(aux2, "du", du)
+            q3 = q3.at[..., u_sl].add(self._to_3d(du))
+            if s == nst - 1:
+                eta_sl = m3.prog_spec.index("eta").start
+                eta3_top = self._col_top_2d(q3[..., eta_sl:eta_sl + 1])
+                aux2 = m2.aux_spec.set(aux2, "eta_diag",
+                                       eta3_top[..., 0])
+                aux2 = m2.aux_spec.set(aux2, "deta",
+                                       eta_c - eta3_top[..., 0])
+                q3 = m3.prog_spec.set(
+                    q3, "eta", self._to_3d(eta_c[..., None])[..., 0])
+                q2 = m2.prog_spec.set(q2, "U", m2.aux_get(aux2, "U_s"))
+                q2 = m2.prog_spec.set(q2, "eta",
+                                      m2.aux_get(aux2, "eta_s"))
+
+        n_impl = getattr(m3, "num_impl_steps", 0)
+        if n_impl > 0:
             from climatemachine_tpu.ocean.ivdc import ivdc_solve
             for _ in range(n_impl):
                 q3 = ivdc_solve(m3, self.dg3, q3, aux3, m3.ivdc_dt)

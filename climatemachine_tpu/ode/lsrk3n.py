@@ -69,3 +69,55 @@ def LS3NRK33Heuns(rhs, dt, pre_stage=None):
     b = [0.25, 0.0, 0.75]
     c = [0, 1 / 3, 2 / 3]
     return ExplicitRungeKutta(rhs, dt, A, b, c, pre_stage=pre_stage)
+
+
+class LowStorageRungeKutta3N:
+    """True 3N-register form (reference LowStorageRungeKutta3NMethod.jl
+    :59 update! :201): per stage
+
+        dQ += f(Q, t + C[s] dt)
+        Q  += B[s,0] dt dQ + B[s,1] dt dR
+        dR += A[(s+1) % n, 1] dQ
+        dQ  = A[(s+1) % n, 0] dQ
+
+    Numerically identical to the Butcher form above; kept because the
+    SplitExplicit01 LSRK3n coupling schedules its fast windows from the
+    RKW weight row and interleaves substepping between these stage
+    updates (ocean/split_explicit.py variant="split01_3n")."""
+
+    def __init__(self, rhs, dt, RKA, RKB, RKC, RKW):
+        self.rhs = rhs
+        self.dt = float(dt)
+        self.RKA = np.asarray(RKA, dtype=np.float64)
+        self.RKB = np.asarray(RKB, dtype=np.float64)
+        self.RKC = np.asarray(RKC, dtype=np.float64)
+        self.RKW = np.asarray(RKW, dtype=np.float64)
+        self.nstages = len(self.RKC)
+        self.dt_fixed = True
+
+    def step(self, q, aux, t):
+        dt, n = self.dt, self.nstages
+        dq = dr = None
+        for s in range(n):
+            tend, aux = self.rhs(q, aux, t + self.RKC[s] * dt)
+            dq = tend if dq is None else dq + tend
+            q = q + (self.RKB[s, 0] * dt) * dq
+            if dr is not None and self.RKB[s, 1]:
+                q = q + (self.RKB[s, 1] * dt) * dr
+            a2 = self.RKA[(s + 1) % n, 1]
+            if a2:
+                dr = a2 * dq if dr is None else dr + a2 * dq
+            dq = self.RKA[(s + 1) % n, 0] * dq
+        return q, aux
+
+
+def LS3NRK33Heuns3N(rhs, dt):
+    """Heun's third-order method in the 3N-register form (reference
+    :307-:330 RKA/RKB/RKC/RKW)."""
+    return LowStorageRungeKutta3N(
+        rhs, dt,
+        RKA=[[0.0, 0.0], [0.0, 1.0], [-1.0, 1.0 / 3.0]],
+        RKB=[[1.0 / 3.0, 0.0], [2.0 / 3.0, -1.0 / 3.0],
+             [3.0 / 4.0, 1.0 / 4.0]],
+        RKC=[0.0, 1.0 / 3.0, 2.0 / 3.0],
+        RKW=[1.0 / 4.0, 0.0, 3.0 / 4.0])

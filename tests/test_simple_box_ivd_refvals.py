@@ -39,16 +39,22 @@ from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
 from tests.test_ocean_refvals import _load, _stats, check_parr
 
 
-def _run_simple_box_ivd(nsteps=80, nelem=20, progress=False):
-    """(reference simple_box_ivd.jl:148-330, constants :477-516)"""
+def _run_simple_box_ivd(nsteps=80, nelem=20, progress=False,
+                        num_impl_steps=5, variant="split01",
+                        dt_slow=5400.0, dt_fast=240.0,
+                        add_fast_substeps=2):
+    """(reference simple_box_ivd.jl:148-330, constants :477-516;
+    num_impl_steps=0 gives the simple_box_2dt configuration;
+    variant="split01_3n" + dt_slow=2400/dt_fast=120/add=3 gives
+    simple_box_rk3)"""
     Lx = Ly = 4e6
     H = 1000.0
-    dt_slow, dt_fast = 5400.0, 240.0
 
     problem = OceanGyre(Lx, Ly, H, tau_o=2e-1, lam_r=20.0 / 86400.0,
                         theta_E=10.0)
-    m3 = CoupledHBModel(problem, c_h=1.0, num_impl_steps=5,
-                        ivdc_dt=dt_slow / 5.0, add_fast_substeps=2)
+    m3 = CoupledHBModel(problem, c_h=1.0, num_impl_steps=num_impl_steps,
+                        ivdc_dt=dt_slow / max(num_impl_steps, 1),
+                        add_fast_substeps=add_fast_substeps)
     m2 = BarotropicModel(problem, turbulence=ConstantViscosity(m3.nu_h),
                          advection=None, c=1.0)
 
@@ -75,11 +81,18 @@ def _run_simple_box_ivd(nsteps=80, nelem=20, progress=False):
     problem.init_state = save
     q3, aux3 = init_ode_state(dg3)
 
-    slow = LSRK54CarpenterKennedy(lambda a, b, t: dg3(a, b, t), dt_slow)
-    fast = LSRK54CarpenterKennedy(lambda a, b, t: dg2(a, b, t), dt_fast)
+    if variant == "split01_3n":
+        from climatemachine_tpu.ode.lsrk3n import LS3NRK33Heuns3N
+        slow = LS3NRK33Heuns3N(lambda a, b, t: dg3(a, b, t), dt_slow)
+        fast = LS3NRK33Heuns3N(lambda a, b, t: dg2(a, b, t), dt_fast)
+    else:
+        slow = LSRK54CarpenterKennedy(lambda a, b, t: dg3(a, b, t),
+                                      dt_slow)
+        fast = LSRK54CarpenterKennedy(lambda a, b, t: dg2(a, b, t),
+                                      dt_fast)
     se = SplitExplicitSolver(slow, fast, dg3, dg2, dt=dt_slow,
                              fast_dt=dt_fast, coupled=True,
-                             variant="split01")
+                             variant=variant)
     step = jax.jit(se.step)
     q, aux = (q3, q2), (aux3, aux2)
     t = 0.0
@@ -170,3 +183,53 @@ if __name__ == "__main__":
             else:
                 ds.append(-np.log10(abs((g - r) / r)))
         print(f"{key}: digits={['%.1f' % d for d in ds]}")
+
+
+@pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
+                    reason="5-day 8000-element run; set "
+                    "CLIMATE_SLOW_REFVALS=1 (takes ~1 h on CPU)")
+def test_simple_box_2dt_reference_refvals():
+    """Reference simple_box_2dt.jl vs its shipped golden table: the
+    same box WITHOUT implicit vertical diffusion (numImplSteps = 0,
+    explicit convective-adjustment branch active).  Gate rationale as
+    in test_simple_box_ivd_reference_refvals."""
+    rv = _load("simple_box_2dt.py")
+    f = _run_simple_box_ivd(nsteps=80, nelem=20, progress=True,
+                            num_impl_steps=0)
+    parr = {k: [min(float(d), 2.0) for d in v] for k, v in rv.parr.items()}
+    for k in list(parr):
+        if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
+                    "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
+            parr[k] = [0.0, 0.0, 0.0, 0.0]
+    check_parr(f, rv.varr, parr)
+
+
+def test_simple_box_rk3_smoke():
+    """2 slow steps of the LSRK3n split-explicit variant at reduced
+    size: finite state, transport developing."""
+    f = _run_simple_box_ivd(nsteps=2, nelem=5, variant="split01_3n",
+                            dt_slow=2400.0, dt_fast=120.0,
+                            add_fast_substeps=3)
+    for key, row in f.items():
+        assert all(np.isfinite(v) for v in row), key
+    assert abs(f[("baro Q_2D", "U[1]")][1]) > 0.0
+
+
+@pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
+                    reason="3-day 8000-element run; set "
+                    "CLIMATE_SLOW_REFVALS=1 (takes ~1-2 h on CPU)")
+def test_simple_box_rk3_reference_refvals():
+    """Reference simple_box_rk3.jl vs its shipped golden table: the
+    LS3NRK33Heuns (3N two-register) split-explicit solver with the
+    LCM-12 fast-window schedule, 108 slow steps over 3 days.  Gate
+    rationale as in test_simple_box_ivd_reference_refvals."""
+    rv = _load("simple_box_rk3.py")
+    f = _run_simple_box_ivd(nsteps=108, nelem=20, progress=True,
+                            variant="split01_3n", dt_slow=2400.0,
+                            dt_fast=120.0, add_fast_substeps=3)
+    parr = {k: [min(float(d), 2.0) for d in v] for k, v in rv.parr.items()}
+    for k in list(parr):
+        if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
+                    "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
+            parr[k] = [0.0, 0.0, 0.0, 0.0]
+    check_parr(f, rv.varr, parr)
