@@ -115,6 +115,10 @@ class IMEXSolverType:
             return tend, aux
 
         solver = self.solver_method(rhs_ex, rhs_im, col_solver, dt)
+        # the block-layout step can consume the FULL RHS (F' = F + G)
+        # with the linear split absorbed into the stage coefficients —
+        # cheaper than the fused remainder (ode/ark.py _step_blocks)
+        solver.rhs_full = lambda q, a, t: dg(q, a, t)
         # eager factorization for every distinct implicit diagonal
         import numpy as np
         for g in sorted({float(solver.A_im[i, i])
