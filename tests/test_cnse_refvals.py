@@ -159,3 +159,96 @@ def test_buoyancy_reference_refvals(name, elems, order):
     fields = _run_buoyancy(elems, order)
     parr = {k: [min(float(d), 6.0) for d in v] for k, v in rv.parr.items()}
     check_parr(fields, getattr(rv, name), parr)
+
+
+def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
+                   progress=False):
+    """Reference test_bickley_jet.jl (3-D): fully periodic [-2pi,2pi]^3
+    jet + two vortical perturbation streamfunctions, Roe flux,
+    overintegration_order = 1, SSPRK22Heuns."""
+    from climatemachine_tpu.cnse.three_dimensional import (
+        CNSE3DModel, CNSE3DRoeNumericalFlux)
+    from climatemachine_tpu.mesh.filters import MassPreservingCutoffFilter
+    from climatemachine_tpu.mesh.topology import stacked_brick_topology
+    from climatemachine_tpu.ode.ssprk import SSPRK22Heuns
+    import time
+
+    pi = np.pi
+    ranges = [np.linspace(-2 * pi, 2 * pi, elems + 1)] * 3
+    topo = stacked_brick_topology(
+        ranges, periodicity=(True, True, True),
+        boundary=np.array([[0, 0], [0, 0], [0, 0]]))
+    grid = make_grid(topo, base_order + 1, dtype=np.float64)
+
+    class Jet3D:
+        boundary_conditions = ("wall",)
+
+        def init_state(self, model, coords, aux, t):
+            eps, l, k = 0.1, 0.5, 0.5
+            x, y, z = (coords[..., 0], coords[..., 1], coords[..., 2])
+            U0 = 1.0 / jnp.cosh(y) ** 2
+            P1 = (jnp.exp(-(y + l / 10) ** 2 / (2 * l * l))
+                  * jnp.cos(k * x) * jnp.cos(k * y))
+            P2 = (jnp.exp(-(z + l / 10) ** 2 / (2 * l * l))
+                  * jnp.cos(k * y) * jnp.cos(k * z))
+            u0 = P1 * (k * jnp.tan(k * y) + y / l ** 2 + 1 / (10 * l))
+            v0 = (P2 * (k * jnp.tan(k * z) + z / l ** 2 + 1 / (10 * l))
+                  - P1 * k * jnp.tan(k * x))
+            w0 = -P2 * k * jnp.tan(k * y)
+            th0 = jnp.sin(k * y)
+            rho = jnp.ones_like(x)
+            s = model.prog_spec
+            q = jnp.zeros(x.shape + (s.num,), dtype=coords.dtype)
+            q = s.set(q, "rho", rho)
+            q = s.set(q, "rhou", jnp.stack(
+                [eps * u0 + U0, eps * v0, eps * w0], axis=-1))
+            return s.set(q, "rhotheta", th0)
+
+    problem = Jet3D()
+    model = CNSE3DModel(problem, c_s=float(np.sqrt(10.0)),
+                        advection="nonlinear")
+    dg = DGModel(model, grid,
+                 numerical_flux_first_order=CNSE3DRoeNumericalFlux())
+    q0, aux0 = init_ode_state(dg)
+
+    filt = MassPreservingCutoffFilter(grid, Nc=base_order + 1)
+    q0 = filt(q0)
+
+    def rhs(q, aux, t):
+        dq, aux = dg(q, aux, t)
+        return filt(dq), aux
+
+    solver = SSPRK22Heuns(rhs, dt)
+    step = jax.jit(solver.step)
+    q, aux, t = q0, aux0, 0.0
+    t0 = time.perf_counter()
+    for i in range(nsteps):
+        q, aux = step(q, aux, t)
+        t += dt
+        if progress and (i + 1) % 2500 == 0:
+            jax.block_until_ready(q)
+            print(f"  step {i + 1}/{nsteps} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    q = np.asarray(q)
+    s = model.prog_spec
+    out = {("state", "rho"): _stats(s.get(q, "rho")),
+           ("state", "rhotheta"): _stats(s.get(q, "rhotheta"))}
+    for i in range(3):
+        out[("state", f"rhou[{i + 1}]")] = _stats(s.get(q, "rhou")[..., i])
+    return out
+
+
+@pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
+                    reason="25,000-step 3-D runs; set CLIMATE_SLOW_REFVALS=1")
+@pytest.mark.parametrize("name,elems,order", [("first_order", 32, 1),
+                                              ("fourth_order", 13, 4)])
+def test_bickley_jet_3d_reference_refvals(name, elems, order):
+    """3-D CNSE Bickley jet vs the reference's shipped
+    refvals_bickley_jet.jl (3-D); gated at min(parr, 4) — the
+    reference's own fourth_order parr is 4-10 digits (past the
+    predictability horizon at t = 100)."""
+    rv = _load("bickley_jet_3d.py")
+    fields = _run_bickley3d(elems, order, progress=True)
+    parr = {k: [min(float(d), 4.0) for d in v]
+            for k, v in getattr(rv, "parr_" + name).items()}
+    check_parr(fields, getattr(rv, name), parr)
