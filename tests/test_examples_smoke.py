@@ -36,6 +36,11 @@ CASES = [
      ["--hours", "1.5", "--nx", "3", "--nz", "3", "--platform", "cpu"]),
     ("examples/richards_soil_water.py",
      ["--hours", "0.02", "--equilibrium-steps", "10", "--platform", "cpu"]),
+    ("examples/risingbubble_fvm.py",
+     ["--timeend", "10", "--dh", "500", "--dv", "500", "--platform", "cpu"]),
+    ("examples/solid_body_rotation_fvm.py",
+     ["--n-horz", "2", "--n-vert", "10", "--poly", "3", "--timeend", "120",
+      "--platform", "cpu"]),
     ("examples/cfsite_amip.py",
      ["--timeend", "10", "--domain", "600", "600", "1200",
       "--resolution", "150", "150", "150", "--poly", "3",
