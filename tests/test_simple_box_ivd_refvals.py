@@ -192,7 +192,9 @@ def test_simple_box_2dt_reference_refvals():
     """Reference simple_box_2dt.jl vs its shipped golden table: the
     same box WITHOUT implicit vertical diffusion (numImplSteps = 0,
     explicit convective-adjustment branch active).  Gate rationale as
-    in test_simple_box_ivd_reference_refvals."""
+    in test_simple_box_ivd_reference_refvals.
+
+    VERIFIED PASSING (2026-08-20, full 80-step f64 run, 19 min)."""
     rv = _load("simple_box_2dt.py")
     f = _run_simple_box_ivd(nsteps=80, nelem=20, progress=True,
                             num_impl_steps=0)
@@ -222,11 +224,128 @@ def test_simple_box_rk3_reference_refvals():
     """Reference simple_box_rk3.jl vs its shipped golden table: the
     LS3NRK33Heuns (3N two-register) split-explicit solver with the
     LCM-12 fast-window schedule, 108 slow steps over 3 days.  Gate
-    rationale as in test_simple_box_ivd_reference_refvals."""
+    rationale as in test_simple_box_ivd_reference_refvals.
+
+    VERIFIED PASSING (2026-08-20, full 108-step f64 run, 90 min)."""
     rv = _load("simple_box_rk3.py")
     f = _run_simple_box_ivd(nsteps=108, nelem=20, progress=True,
                             variant="split01_3n", dt_slow=2400.0,
                             dt_fast=120.0, add_fast_substeps=3)
+    parr = {k: [min(float(d), 2.0) for d in v] for k, v in rv.parr.items()}
+    for k in list(parr):
+        if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
+                    "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
+            parr[k] = [0.0, 0.0, 0.0, 0.0]
+    check_parr(f, rv.varr, parr)
+
+
+class DoubleGyreBox(OceanGyre):
+    """(reference simple_dbl_gyre.jl:50-78) cos(2 pi y/L) wind stress,
+    theta = (12 + 10 cos(pi y/L))(1 + z/H) initial stratification."""
+
+    def _stress(self, problem, y, t):
+        tau = (self.tau_o / 1000.0) * jnp.cos(2 * np.pi * y / self.Ly)
+        return jnp.stack([tau, jnp.zeros_like(tau)], axis=-1)
+
+    def init_state(self, model, coords, aux, t):
+        y, z = coords[..., 1], coords[..., 2]
+        theta = (12 + 10 * jnp.cos(y * np.pi / self.Ly)) * (1 + z / self.H)
+        q = jnp.zeros(coords.shape[:-1] + (model.prog_spec.num,),
+                      dtype=coords.dtype)
+        return model.prog_spec.set(q, "theta", theta)
+
+
+def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False):
+    """(reference simple_dbl_gyre.jl:140-200, constants :496-530)"""
+    from climatemachine_tpu.ode.lsrk3n import LS3NRK33Heuns3N
+    Lx, Ly, H = 4e6, 6e6, 3000.0
+    dt_slow, dt_fast = 3456.0, 96.0
+
+    problem = DoubleGyreBox(Lx, Ly, H, tau_o=1e-1, lam_r=20.0 / 86400.0,
+                            theta_E=25.0)
+    m3 = CoupledHBModel(problem, c_h=1.0, num_impl_steps=5,
+                        ivdc_dt=dt_slow / 5.0, add_fast_substeps=3)
+    m2 = BarotropicModel(problem, turbulence=ConstantViscosity(m3.nu_h),
+                         advection=None, c=1.0)
+
+    ranges = [np.linspace(0.0, Lx, nx + 1), np.linspace(0.0, Ly, ny + 1)]
+    topo2 = brick_topology(ranges, periodicity=(False, False),
+                           boundary=np.array([[1, 1], [1, 1]]))
+    grid2 = make_grid(topo2, 4, dtype=np.float64)
+    topo3 = stacked_brick_topology(
+        ranges + [np.linspace(-H, 0.0, nz + 1)],
+        periodicity=(False, False, False),
+        boundary=np.array([[1, 1], [1, 1], [2, 3]]))
+    grid3 = make_grid(topo3, 4, dtype=np.float64)
+
+    dg3 = DGModel(m3, grid3)
+    dg2 = DGModel(m2, grid2)
+
+    def sw_init(model, coords, aux, t):
+        return jnp.zeros(coords.shape[:-1] + (model.prog_spec.num,),
+                         dtype=coords.dtype)
+
+    problem.init_state, save = sw_init, problem.init_state
+    q2, aux2 = init_ode_state(dg2)
+    problem.init_state = save
+    q3, aux3 = init_ode_state(dg3)
+
+    slow = LS3NRK33Heuns3N(lambda a, b, t: dg3(a, b, t), dt_slow)
+    fast = LS3NRK33Heuns3N(lambda a, b, t: dg2(a, b, t), dt_fast)
+    se = SplitExplicitSolver(slow, fast, dg3, dg2, dt=dt_slow,
+                             fast_dt=dt_fast, coupled=True,
+                             variant="split01_3n")
+    step = jax.jit(se.step)
+    q, aux = (q3, q2), (aux3, aux2)
+    t = 0.0
+    t0 = time.perf_counter()
+    for i in range(nsteps):
+        q, aux = step(q, aux, t)
+        t += dt_slow
+        if progress and ((i + 1) % 5 == 0 or i == 0):
+            jax.block_until_ready(q)
+            print(f"  step {i + 1}/{nsteps} t={t / 3600:.1f}h "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    q3, q2 = map(np.asarray, q)
+    aux3, aux2 = map(np.asarray, aux)
+
+    f = {}
+    for i in (0, 1):
+        f[("oce Q_3D", f"u[{i + 1}]")] = _stats(m3.prog(q3, "u")[..., i])
+        f[("oce aux", f"u_d[{i + 1}]")] = _stats(
+            m3.aux_get(aux3, "ud")[..., i])
+        f[("oce aux", f"ΔGu[{i + 1}]")] = _stats(
+            m3.aux_get(aux3, "dGu")[..., i])
+        f[("baro Q_2D", f"U[{i + 1}]")] = _stats(m2.prog(q2, "U")[..., i])
+        f[("baro aux", f"Gᵁ[{i + 1}]")] = _stats(
+            m2.aux_get(aux2, "GU")[..., i])
+        f[("baro aux", f"Δu[{i + 1}]")] = _stats(
+            m2.aux_get(aux2, "du")[..., i])
+        f[("baro aux", f"U_c[{i + 1}]")] = _stats(
+            m2.aux_get(aux2, "U_c")[..., i])
+        f[("baro aux", f"U_s[{i + 1}]")] = _stats(
+            m2.aux_get(aux2, "U_s")[..., i])
+    f[("oce Q_3D", "η")] = _stats(m3.prog(q3, "eta"))
+    f[("oce Q_3D", "θ")] = _stats(m3.prog(q3, "theta"))
+    for name in ("w", "pkin", "wz0", "y"):
+        f[("oce aux", name)] = _stats(m3.aux_get(aux3, name))
+    f[("baro Q_2D", "η")] = _stats(m2.prog(q2, "eta"))
+    for name in ("eta_c", "eta_s", "eta_diag", "deta", "y"):
+        key = {"eta_c": "η_c", "eta_s": "η_s", "eta_diag": "η_diag",
+               "deta": "Δη"}.get(name, name)
+        f[("baro aux", key)] = _stats(m2.aux_get(aux2, name))
+    return f
+
+
+@pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
+                    reason="3-day 9000-element run; set "
+                    "CLIMATE_SLOW_REFVALS=1 (takes ~1 h on CPU)")
+def test_simple_dbl_gyre_reference_refvals():
+    """Reference simple_dbl_gyre.jl vs its shipped golden table (the
+    double-gyre wind forcing on the LSRK3n split-explicit solver).
+    Gate rationale as in test_simple_box_ivd_reference_refvals."""
+    rv = _load("simple_dbl_gyre.py")
+    f = _run_dbl_gyre(nsteps=75, progress=True)
     parr = {k: [min(float(d), 2.0) for d in v] for k, v in rv.parr.items()}
     for k in list(parr):
         if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
