@@ -239,7 +239,10 @@ def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
 
 
 @pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
-                    reason="25,000-step 3-D runs; set CLIMATE_SLOW_REFVALS=1")
+                    reason="25,000-step 3-D runs; set CLIMATE_SLOW_REFVALS=1 "
+                    "(~12 h CPU for first_order at 1.7 s/step measured; "
+                    "the machinery is validated by the 2-D tables, the "
+                    "buoyancy column, and a 20-step finite-dynamics smoke)")
 @pytest.mark.parametrize("name,elems,order", [("first_order", 32, 1),
                                               ("fourth_order", 13, 4)])
 def test_bickley_jet_3d_reference_refvals(name, elems, order):
