@@ -35,6 +35,14 @@ class Gravity(Source):
         return {"rhou": -rho[..., None] * grad_Phi}
 
 
+    def contributions_vm(self, model, ctx, t):
+        """Var-major form (dg/fast_rhs.py): arrays [E, Np] / [E, 3, Np]."""
+        rho = ctx.rho
+        if model.ref_state.subtract_off:
+            rho = rho - ctx.aux("ref_state.rho")
+        return {"rhou": -rho[:, None, :] * ctx.grad_Phi}
+
+
 class Coriolis(Source):
     """-2Ω ẑ × ρu in the planetary frame (reference :74-85; assumes
     SphericalOrientation, Ω along the x3 axis)."""
@@ -47,6 +55,12 @@ class Coriolis(Source):
                          -2 * Om * rhou[..., 0],
                          jnp.zeros_like(rhou[..., 0])], axis=-1)
         return {"rhou": out}
+
+    def contributions_vm(self, model, ctx, t):
+        Om = model.param_set.Omega
+        ru = ctx.rhou
+        return {"rhou": jnp.stack([2 * Om * ru[:, 1], -2 * Om * ru[:, 0],
+                                   jnp.zeros_like(ru[:, 0])], axis=1)}
 
 
 @dataclass(frozen=True)
@@ -117,3 +131,13 @@ class RayleighSponge(Source):
         beta = self.alpha_max * jnp.sin(jnp.pi / 2 * r) ** self.gamma
         u_rel = jnp.asarray(self.u_relaxation, dtype=q.dtype)
         return {"rhou": -beta[..., None] * (rhou - rho[..., None] * u_rel)}
+
+    def contributions_vm(self, model, ctx, t):
+        ps = model.param_set
+        z = ctx.Phi / ps.grav
+        r = jnp.clip((z - self.z_sponge) / (self.z_max - self.z_sponge),
+                     0.0, 1.0)
+        beta = self.alpha_max * jnp.sin(jnp.pi / 2 * r) ** self.gamma
+        u_rel = jnp.asarray(self.u_relaxation, dtype=ctx.rho.dtype)
+        m = ctx.rhou - ctx.rho[:, None, :] * u_rel[None, :, None]
+        return {"rhou": -beta[:, None, :] * m}

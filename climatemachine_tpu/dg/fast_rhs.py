@@ -1,0 +1,507 @@
+"""End-to-end var-major RHS for the atmosphere hot path (round 4).
+
+Scope: the full DG RHS of reference ``DGModel.jl:85`` for dry AND
+EquilMoist compressible AtmosModel configurations without a turbulence
+closure (Held-Suarez, baroclinic wave, moist baroclinic wave) — the
+benchmark family.
+
+Why: the generic RHS keeps state node-major ``[E, Np, nvar]``.  On TPU
+the trailing variable axis (5-6) maps to the 128-lane tile, so every
+elementwise pass and every layout change runs at nvar/128 lane
+utilization (a single 31 MB state transpose measures ~3.2 ms at
+benchmark scale — scripts/tpu_applyop_dissect.py).  This path keeps
+EVERYTHING var-major ``[E, nvar, Np]`` (lanes = Np) from the time
+integrator's state through every intermediate:
+
+- **thermo once**: T, p, sound speed (and the EquilMoist saturation
+  adjustment) are computed once per RHS and reused by the volume flux,
+  the face fluxes (faces are nodal subsets, so face thermo = extracted
+  volume thermo), and the sources — the generic path recomputes them
+  4x per evaluation.
+- **volume**: one fused Pallas kernel (pallas_volume.fused_volume
+  _tendency_vm) computes first-order flux + hyperdiffusive flux +
+  optional fused-remainder subtraction + weak divergence entirely in
+  VMEM; only q/p/F2/metrics are read and only the tendency is written.
+- **chain**: the var-major LDG chain (ldg_varmajor) is driven directly
+  in var-major (no node-major boundary transposes).
+- **surface**: generic-width var-major Rusanov pass; p and c ride the
+  face bundle so no thermo is evaluated on faces.
+- **sources**: ``contributions_vm`` hooks on the source objects.
+
+The tendency returned is var-major; the ODE integrators are layout
+agnostic (axpy), so whole explicit steps and the ARK stage algebra run
+without a single state transpose.  Gated by :func:`supports`; parity
+with the generic DGModel is enforced at round-off by
+tests/test_fast_rhs.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climatemachine_tpu.dg import ldg_varmajor as _lvm
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def supports(dg) -> bool:
+    """True when VarMajorRHS reproduces the generic RHS exactly for this
+    configuration."""
+    from climatemachine_tpu.atmos.model import AtmosModel
+    from climatemachine_tpu.atmos.moisture import DryModel, EquilMoist
+    from climatemachine_tpu.atmos import boundaryconditions as abc
+    from climatemachine_tpu.dg.numerical_fluxes import RusanovNumericalFlux
+
+    bl, g = dg.balance_law, dg.grid
+    if not isinstance(bl, AtmosModel):
+        return False
+    ph = bl.physics
+    if not (g.dim == 3 and dg.direction == "every"
+            and g.face_perm_identity and g.Wdiv is not None):
+        return False
+    if len(set(int(x) for x in g.Nq)) != 1:
+        return False                         # ldg tables need uniform Nq
+    all_faces = tuple(range(g.nface))
+    if dg.exchange is None and getattr(g, "face_nbr_row", None) is not None:
+        pass
+    elif all_faces in dg.row_halo:
+        pass
+    else:
+        return False
+    if not isinstance(ph.moisture, (DryModel, EquilMoist)):
+        return False
+    if (ph.energy.is_theta or ph.compressibility.is_anelastic
+            or ph.turbulence is not None or ph.turbconv is not None
+            or ph.sgstke is not None or ph.radiation is not None
+            or ph.lsforcing is not None or bl.tracers.N != 0):
+        return False
+    if ph.precipitation is not None and \
+            ph.precipitation.vars_prognostic().num:
+        return False
+    hd = ph.hyperdiffusion
+    if hd is not None:
+        from climatemachine_tpu.atmos.hyperdiffusion import (
+            DryBiharmonic, EquilMoistBiharmonic)
+        if type(hd) not in (DryBiharmonic, EquilMoistBiharmonic):
+            return False
+        if isinstance(ph.moisture, EquilMoist) != isinstance(
+                hd, EquilMoistBiharmonic):
+            return False
+    if type(dg.nf1) is not RusanovNumericalFlux:
+        return False
+    if dg.remainder is not None:
+        from climatemachine_tpu.atmos.linear import (
+            AtmosAcousticGravityLinearModel, AtmosAcousticLinearModel)
+        lin, ldir = dg.remainder
+        if type(lin) not in (AtmosAcousticGravityLinearModel,
+                             AtmosAcousticLinearModel):
+            return False
+        if ldir not in ("vertical", "every"):
+            return False
+        if bl.ref_state is None:
+            return False
+    for src in bl.sources:
+        if not hasattr(src, "contributions_vm"):
+            return False
+    for bc in bl.problem.boundary_conditions:
+        if type(bc) is not abc.AtmosBC:
+            return False
+        mom = bc.momentum
+        if isinstance(mom, abc.Impenetrable):
+            mom = mom.bc
+        if type(mom) is not abc.FreeSlip:
+            return False
+        if type(bc.energy) is not abc.Insulating:
+            return False
+        if type(bc.moisture) is not abc.Impermeable:
+            return False
+    return True
+
+
+@dataclass
+class VMContext:
+    """What the var-major source hooks see (arrays [E, Np] for scalars,
+    [E, 3, Np] for vectors; ``aux(name)`` pulls var-major aux slices)."""
+    rho: object
+    rhou: object
+    rhoe: object
+    T: object
+    p: object
+    Phi: object
+    grad_Phi: object
+    coords: object
+    aux: object     # callable name -> array
+
+
+class VarMajorRHS:
+    """Var-major full RHS; call signature ``(qv, auxv, t) -> (dqv, auxv')``
+    with qv [E, nq, Np] and auxv [E, naux, Np]."""
+
+    def __init__(self, dg, interpret: Optional[bool] = None,
+                 block_e: int = 32):
+        assert supports(dg), "unsupported configuration for VarMajorRHS"
+        from climatemachine_tpu.atmos.moisture import EquilMoist
+        self.dg = dg
+        self.bl = dg.balance_law
+        self.grid = dg.grid
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+        g = self.grid
+        E = g.nelem
+        while E % block_e != 0:
+            block_e //= 2
+        self.block_e = block_e
+        bl = self.bl
+        self.nq = bl.prog_spec.num
+        self.moist = isinstance(bl.physics.moisture, EquilMoist)
+        sp = bl.aux_spec
+        self.i_phi = sp.index("orientation.Phi").start
+        self.i_gphi = sp.index("orientation.grad_Phi")
+        self.i_coord = sp.index("coord")
+        self._aux_idx = {}          # name -> slice (resolved lazily)
+        self.hd = bl.physics.hyperdiffusion
+        self.rem = dg.remainder
+        if self.rem is not None:
+            from climatemachine_tpu.atmos.linear import \
+                AtmosAcousticGravityLinearModel
+            self.lin_gravity = isinstance(self.rem[0],
+                                          AtmosAcousticGravityLinearModel)
+        # prebuild static face tables while the grid is concrete
+        from climatemachine_tpu.dg.spatial import (direction_dims,
+                                                   direction_faces)
+        self.all_faces = tuple(range(g.nface))
+        self.dims_every = direction_dims("every", 3)
+        if self.hd is not None:
+            cdir = bl.hyperdiffusion_direction or dg.diffusion_direction
+            self.chain_dims = direction_dims(cdir, 3)
+            self.chain_faces = direction_faces(cdir, 3)
+            ngl = bl.gradlap_spec.num
+            _lvm._tables(dg, self.chain_faces, ngl)
+            _lvm._tables(dg, self.all_faces, self.nq)
+        self._surf_tables()
+
+    # --- layout converters ---------------------------------------------------
+    def to_vm(self, q):
+        return q.transpose(0, 2, 1)
+
+    def from_vm(self, qv):
+        return qv.transpose(0, 2, 1)
+
+    aux_to_vm = to_vm
+    aux_from_vm = from_vm
+
+    # --- aux access ------------------------------------------------------------
+    def _aux(self, auxv, name):
+        sl = self._aux_idx.get(name)
+        if sl is None:
+            sl = self.bl.aux_spec.index(name)
+            self._aux_idx[name] = sl
+        out = auxv[:, sl, :]
+        return out[:, 0, :] if (sl.stop - sl.start) == 1 else out
+
+    # --- thermo (once per RHS) -------------------------------------------------
+    def _thermo_update(self, qv, auxv, t):
+        """T, p, c_s (+ aux refresh) — reference nodal
+        update_auxiliary_state! (AtmosModel.jl:859-877) fused with the
+        thermo recomputation every flux/source pass would redo."""
+        from climatemachine_tpu.physics import thermodynamics as td
+        bl, ps = self.bl, self.bl.param_set
+        rho = qv[:, 0, :]
+        ru = qv[:, 1:4, :]
+        rhoe = qv[:, 4, :]
+        Phi = auxv[:, self.i_phi, :]
+        e_int = (rhoe - 0.5 * jnp.sum(ru * ru, axis=1) / rho) / rho - Phi
+        sp = bl.aux_spec
+        if self.moist:
+            q_tot = qv[:, 5, :] / rho
+            T = td.saturation_adjustment(
+                ps, e_int, rho, q_tot,
+                n_iter=bl.physics.moisture.maxiter)
+            pp = td.phase_partition_equil(ps, T, rho, q_tot)
+            p = td.air_pressure(ps, T, rho, pp)
+            theta_v = td.virtual_temperature(ps, T, pp) * \
+                (ps.MSLP / p) ** ps.kappa_d
+            for name, val in (("moisture.temperature", T),
+                              ("moisture.theta_v", theta_v),
+                              ("moisture.q_liq", pp.liq),
+                              ("moisture.q_ice", pp.ice)):
+                auxv = auxv.at[:, sp.index(name).start, :].set(val)
+            c_s = td.soundspeed_air(ps, T, pp)
+        else:
+            T = td.air_temperature(ps, e_int)
+            p = td.air_pressure(ps, T, rho)
+            theta_v = T * (ps.MSLP / p) ** ps.kappa_d
+            auxv = auxv.at[:, sp.index("moisture.air_T").start, :].set(T)
+            auxv = auxv.at[:, sp.index("moisture.theta_v").start, :].set(
+                theta_v)
+            c_s = td.soundspeed_air(ps, T)
+        return T, p, c_s, auxv
+
+    # --- hyperdiffusion chain -> F2 ---------------------------------------------
+    def _hyper_F2(self, qv, auxv, T, p, t):
+        """Var-major LDG chain + transform + hyper flux, returning the
+        coordinate-major second-order flux F2v [E, 3, nq, Np] (reference
+        DGModel.jl:226-310 chain; DryBiharmonic transform/flux)."""
+        bl, g, dg = self.bl, self.grid, self.dg
+        ps = bl.param_set
+        rho = qv[:, 0, :]
+        ru = qv[:, 1:4, :]
+        rhoe = qv[:, 4, :]
+        u = ru / rho[:, None, :]
+        k = auxv[:, self.i_gphi, :] / ps.grav            # [E, 3, Np]
+        u_h = u - jnp.sum(u * k, axis=1, keepdims=True) * k
+        h_tot = (rhoe + p) / rho
+        parts = [u_h, h_tot[:, None, :]]
+        if self.moist:
+            parts.append((qv[:, 5, :] / rho)[:, None, :])
+        glv = jnp.concatenate(parts, axis=1)             # [E, ngl, Np]
+        ngl = glv.shape[1]
+
+        faces, dims = self.chain_faces, self.chain_dims
+        halo = dg.row_halo.get(faces)
+        tab = _lvm._tables(dg, faces, ngl)
+        geom = _lvm._geom(dg, faces, dims)
+        grad = _lvm.grad_vm(dg, glv, tab, geom, dims, halo)
+        lap = _lvm.div_vm(dg, grad, tab, geom, dims, halo)
+        gl2 = _lvm.grad_vm(dg, lap, tab, geom, dims, halo)  # [E,3,ngl,Np]
+
+        delta = self._aux(auxv, "hyperdiffusion.delta")
+        nu4 = (delta / 2) ** 4 / (2 * self.hd.tau_timescale)
+        nq = self.nq
+        E, Np = rho.shape
+        F2 = jnp.zeros((E, 3, nq, Np), dtype=qv.dtype)
+        gu = nu4[:, None, None, :] * gl2[:, :, 0:3, :]   # [E, 3, 3, Np]
+        F2 = F2.at[:, :, 1:4, :].set(rho[:, None, None, :] * gu)
+        Fe = (jnp.sum(gu * ru[:, None, :, :], axis=2)
+              + rho[:, None, :] * nu4[:, None, :] * gl2[:, :, 3, :])
+        F2 = F2.at[:, :, 4, :].set(Fe)
+        if self.moist:
+            nu4q = (delta / 2) ** 4 / (2 * self.hd.tau_timescale_q_tot)
+            F2 = F2.at[:, :, 5, :].set(
+                rho[:, None, :] * nu4q[:, None, :] * gl2[:, :, 4, :])
+        return F2
+
+    def _scalar_hyper_vm(self, F2v, faces):
+        """Var-major hyper-only second-order interface correction (same
+        math as ldg_varmajor.scalar_hyper_correction, minus the
+        node-major boundary transposes): returns [E, nq, Np]."""
+        dg, g = self.dg, self.grid
+        E, _, nq, Np = F2v.shape
+        Nfp = g.Nfp_max
+        halo = dg.row_halo.get(tuple(faces))
+        tab = _lvm._tables(dg, tuple(faces), nq)
+        nfa, F = tab["nfa"], tab["F"]
+        sM, nrm, _, _ = _lvm._geom(dg, faces, self.dims_every)
+        SelT = jnp.asarray(tab["SelT"])
+        rows3 = jnp.matmul(F2v.reshape(E * 3 * nq, Np), SelT,
+                           precision=_HI).reshape(E, 3, nq, F)
+        s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)
+        sP = _lvm._exchange(s, tab, E, nq, nfa, Nfp, halo)
+        interior = (jnp.asarray(tab["sign"]) < 0)[:, None, :]
+        d2 = jnp.where(interior, 0.5 * (s - sP), 0.0)
+        LT = jnp.asarray(tab["LT"])
+        corr = jnp.matmul((sM * d2).reshape(E * nq, F), LT,
+                          precision=_HI).reshape(E, nq, Np)
+        return -(g.MI[:, None, :] * corr)
+
+    # --- surface ----------------------------------------------------------------
+    def _surf_tables(self):
+        """Neighbor/boundary tables (host numpy; reuses fast_surface's)."""
+        from climatemachine_tpu.dg import fast_surface as _fs
+        self._stab = _fs._tables(self.dg)
+
+    def _surface(self, qv, auxv, p, c_s, t):
+        """Generic-width var-major Rusanov surface pass: −M⁻¹L(sM·f*).
+        Faces are nodal subsets, so face thermo (p, c) is EXTRACTED, not
+        recomputed (reference dgsem_interface_tendency!,
+        DGModel_kernels.jl:588)."""
+        bl, g, dg = self.bl, self.grid, self.dg
+        ps = bl.param_set
+        E, Np, nface, Nfp = g.nelem, g.Np, g.nface, g.Nfp_max
+        X = nface * Nfp
+        nq = self.nq
+        tab = self._stab
+        rem = self.rem
+
+        subtract = bl.ref_state.subtract_off
+        parts = [qv, p[:, None, :], c_s[:, None, :]]
+        if subtract or rem is not None:
+            parts.append(self._aux(auxv, "ref_state.p")[:, None, :])
+        i_pref = nq + 2
+        if rem is not None:
+            # linear-flux lanes: phi, coeff=(rhoe_r+p_r)/rho_r, c(T_ref)
+            phi = auxv[:, self.i_phi, :]
+            rhoe_r = self._aux(auxv, "ref_state.rhoe")
+            rho_r = self._aux(auxv, "ref_state.rho")
+            T_r = self._aux(auxv, "ref_state.T")
+            coeff = (rhoe_r + self._aux(auxv, "ref_state.p")) / rho_r
+            if not self.lin_gravity:
+                coeff = coeff - phi
+            cl = jnp.sqrt((ps.cp_d / ps.cv_d) * ps.R_d * T_r)
+            parts += [phi[:, None, :], coeff[:, None, :], cl[:, None, :]]
+        B = jnp.concatenate(parts, axis=1)               # [E, nvb, Np]
+        nvb = B.shape[1]
+
+        Bf = jnp.matmul(B.reshape(E * nvb, Np), g.lift,
+                        precision=_HI).reshape(E, nvb, X)
+
+        halo = dg.row_halo.get(self.all_faces)
+        if halo is not None:
+            R2 = (Bf.reshape(E, nvb, nface, Nfp).transpose(0, 2, 1, 3)
+                  .reshape(E * nface, nvb * Nfp))
+            BP = (halo.gather(R2).reshape(E, nface, nvb, Nfp)
+                  .transpose(0, 2, 1, 3).reshape(E, nvb, X))
+        else:
+            blocks = []
+            for f in range(nface):
+                o = int(tab["opp"][f])
+                src = Bf[:, :, o * Nfp:(o + 1) * Nfp]
+                blk = src[tab["nbr_e"][f]]
+                for fsrc, rows, src_e in tab["fix"][f]:
+                    fixed = Bf[src_e][:, :, fsrc * Nfp:(fsrc + 1) * Nfp]
+                    blk = blk.at[rows].set(fixed)
+                blocks.append(blk)
+            BP = jnp.concatenate(blocks, axis=2)
+
+        nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, X)
+        sM = g.sM.reshape(E, 1, X)
+        bmask = tab["bnd_lane"][:, None, :]
+
+        # boundary ghost: reflect normal momentum, copy everything else
+        # (Impenetrable(FreeSlip) + Insulating + Impermeable; T/p/c are
+        # invariant under the reflection)
+        run = sum(BP[:, 1 + c] * nrm[:, c] for c in range(3))
+        ghost = [BP[:, 0]]
+        for c in range(3):
+            ghost.append(BP[:, 1 + c] - 2 * run * nrm[:, c])
+        ghost = jnp.stack(ghost + [BP[:, v] for v in range(4, nvb)], axis=1)
+        BP = jnp.where(bmask, ghost, BP)
+
+        def flux_n(Bs):
+            rho = Bs[:, 0]
+            inv = 1.0 / rho
+            un = sum(Bs[:, 1 + c] * inv * nrm[:, c] for c in range(3))
+            pv = Bs[:, nq]
+            p_eff = pv - Bs[:, i_pref] if subtract else pv
+            Fn = [rho * un]
+            for c in range(3):
+                Fn.append(Bs[:, 1 + c] * un + p_eff * nrm[:, c])
+            Fn.append((Bs[:, 4] + pv) * un)
+            for v in range(5, nq):
+                Fn.append(Bs[:, v] * un)
+            return Fn, jnp.abs(un) + Bs[:, nq + 1]
+
+        FnM, cM = flux_n(Bf)
+        FnP, cP = flux_n(BP)
+        c = jnp.maximum(cM, cP)
+        fstar = jnp.stack([0.5 * (FnM[v] + FnP[v])
+                           - 0.5 * c * (BP[:, v] - Bf[:, v])
+                           for v in range(nq)], axis=1)
+
+        if rem is not None:
+            from climatemachine_tpu.dg.spatial import direction_faces
+            lin, ldir = rem
+            lfaces = direction_faces(ldir, 3)
+            sl = slice(lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp)
+            nrm_s = nrm[:, :, sl]
+            i_lphi, i_lco, i_lcl = nvb - 3, nvb - 2, nvb - 1
+
+            def flux_lin(Bs):
+                rho, rhoe, phi = Bs[:, 0, sl], Bs[:, 4, sl], Bs[:, i_lphi, sl]
+                pL = (rho * ps.R_d * ps.T_0
+                      + ps.R_d / ps.cv_d * (rhoe - rho * phi))
+                un = sum(Bs[:, 1 + c, sl] * nrm_s[:, c] for c in range(3))
+                Fn = [un, pL * nrm_s[:, 0], pL * nrm_s[:, 1],
+                      pL * nrm_s[:, 2], Bs[:, i_lco, sl] * un]
+                Fn += [jnp.zeros_like(un)] * (nq - 5)
+                return Fn, Bs[:, i_lcl, sl]
+
+            FnLM, cLM = flux_lin(Bf)
+            FnLP, cLP = flux_lin(BP)
+            cl = jnp.maximum(cLM, cLP)
+            fstar_lin = jnp.stack(
+                [0.5 * (FnLM[v] + FnLP[v])
+                 - 0.5 * cl * (BP[:, v, sl] - Bf[:, v, sl])
+                 for v in range(nq)], axis=1)
+            fstar = fstar.at[:, :, sl].add(-fstar_lin)
+
+        lifted = jnp.matmul((sM * fstar).reshape(E * nq, X), g.lift.T,
+                            precision=_HI).reshape(E, nq, Np)
+        return -(g.MI[:, None, :] * lifted)
+
+    # --- sources ------------------------------------------------------------------
+    def _sources(self, qv, auxv, T, p, t):
+        bl = self.bl
+        ctx = VMContext(rho=qv[:, 0, :], rhou=qv[:, 1:4, :],
+                        rhoe=qv[:, 4, :], T=T, p=p,
+                        Phi=auxv[:, self.i_phi, :],
+                        grad_Phi=auxv[:, self.i_gphi, :],
+                        coords=auxv[:, self.i_coord, :],
+                        aux=lambda name: self._aux(auxv, name))
+        out = jnp.zeros_like(qv)
+        for src in bl.sources:
+            for name, val in src.contributions_vm(bl, ctx, t).items():
+                sl = bl.prog_spec.index(name)
+                if val.ndim == 2:
+                    val = val[:, None, :]
+                out = out.at[:, sl, :].add(val)
+        return out
+
+    # --- full RHS --------------------------------------------------------------------
+    def __call__(self, qv, auxv, t):
+        bl, g = self.bl, self.grid
+        ps = bl.param_set
+        T, p, c_s, auxv = self._thermo_update(qv, auxv, t)
+
+        F2v = None
+        if self.hd is not None:
+            F2v = self._hyper_F2(qv, auxv, T, p, t)      # [E, 3, nq, Np]
+
+        # volume (+ fused F2 divergence + fused remainder)
+        from climatemachine_tpu.dg.pallas_volume import \
+            fused_volume_tendency_vm
+        subtract = bl.ref_state.subtract_off
+        phi = auxv[:, self.i_phi, :]
+        if subtract or self.rem is not None:
+            p_ref = self._aux(auxv, "ref_state.p")
+        else:
+            p_ref = jnp.zeros_like(phi)
+        lin_dims = ()
+        lin_gravity = True
+        if self.rem is not None:
+            from climatemachine_tpu.dg.spatial import direction_dims
+            lin_dims = direction_dims(self.rem[1], 3)
+            lin_gravity = self.lin_gravity
+            ref3 = jnp.stack([self._aux(auxv, "ref_state.rhoe"),
+                              self._aux(auxv, "ref_state.rho"), p_ref],
+                             axis=1)
+        else:
+            ref3 = jnp.zeros((g.nelem, 3, g.Np), dtype=qv.dtype)
+        nq = self.nq
+        F2k = (F2v.reshape(g.nelem, 3 * nq, g.Np) if F2v is not None
+               else jnp.zeros((g.nelem, 3 * nq, g.Np), dtype=qv.dtype))
+        xiv = g.xi_x.transpose(0, 2, 3, 1).reshape(g.nelem, 9, g.Np)
+        tend = fused_volume_tendency_vm(
+            qv, p, phi, p_ref, ref3, F2k, xiv, g.M, g.MI, g.Wdiv,
+            nq=nq, R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
+            block_e=self.block_e, subtract_ref=subtract,
+            has_f2=F2v is not None, lin_dims=lin_dims,
+            lin_gravity=lin_gravity, interpret=self.interpret)
+
+        # surface + hyper interface correction + sources
+        tend = tend + self._surface(qv, auxv, p, c_s, t)
+        if F2v is not None:
+            tend = tend + self._scalar_hyper_vm(
+                F2v, tuple(range(g.nface)))
+        tend = tend + self._sources(qv, auxv, T, p, t)
+        if self.rem is not None and self.lin_gravity:
+            # subtract the linear model's gravity source −ρ∇Φ
+            # (linear.py AtmosAcousticGravityLinearModel.source)
+            gPhi = auxv[:, self.i_gphi, :]
+            tend = tend.at[:, 1:4, :].add(qv[:, 0, None, :] * gPhi)
+        return tend, auxv

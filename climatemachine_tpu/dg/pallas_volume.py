@@ -150,6 +150,140 @@ def dry_volume_tendency(q, phi, p_ref, ref3, xi_x, M, MI, Wdiv,
     return out.transpose(0, 2, 1)
 
 
+def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, f2_ref, xi_ref,
+               m_ref, mi_ref, w_ref, out_ref, *, nq, R_d, cv_d, T_0,
+               subtract_ref, has_f2, lin_dims, lin_gravity):
+    """Var-major fused volume kernel (round 4): first-order flux from the
+    PRECOMPUTED pressure (thermo runs once per RHS, outside), optional
+    second-order flux F2 folded into the same weak-divergence matmul,
+    optional fused-remainder linear-flux subtraction.  Generic over the
+    prognostic width: variables are (rho, rhou(3), rhoe, extras...) where
+    every extra (rhoq_tot, tracers) advects with u."""
+    rho = q_ref[:, 0, :]
+    ru = (q_ref[:, 1, :], q_ref[:, 2, :], q_ref[:, 3, :])
+    rhoe = q_ref[:, 4, :]
+    p = p_ref[...]
+    inv_rho = 1.0 / rho
+    u = (ru[0] * inv_rho, ru[1] * inv_rho, ru[2] * inv_rho)
+    p_eff = p - pref_ref[...] if subtract_ref else p
+    h = rhoe + p
+
+    def F(i, v):
+        """Physical flux component F_i[v]."""
+        if v == 0:
+            return ru[i]
+        if v in (1, 2, 3):
+            f = ru[v - 1] * u[i]
+            return f + p_eff if v - 1 == i else f
+        if v == 4:
+            return h * u[i]
+        return q_ref[:, v, :] * u[i]          # advected scalars
+
+    Flin = None
+    if lin_dims:
+        phi = phi_ref[...]
+        pL = rho * R_d * T_0 + (R_d / cv_d) * (rhoe - rho * phi)
+        rhoe_r = ref3_ref[:, 0, :]
+        rho_r = ref3_ref[:, 1, :]
+        p_r = ref3_ref[:, 2, :]
+        coeff = (rhoe_r + p_r) / rho_r
+        if not lin_gravity:
+            coeff = coeff - phi
+        zero = jnp.zeros_like(pL)
+
+        def _flin(i, v):
+            if v == 0:
+                return ru[i]
+            if v in (1, 2, 3):
+                return pL if v - 1 == i else zero
+            if v == 4:
+                return coeff * ru[i]
+            return zero                        # scalars: no linear flux
+        Flin = _flin
+
+    m = m_ref[...]
+    w = w_ref[...]
+    mi = mi_ref[...]
+    for v in range(nq):
+        parts = []
+        for a in range(3):
+            acc = xi_ref[:, 3 * a, :] * F(0, v)
+            acc += xi_ref[:, 3 * a + 1, :] * F(1, v)
+            acc += xi_ref[:, 3 * a + 2, :] * F(2, v)
+            if Flin is not None and a in lin_dims:
+                for i in range(3):
+                    if not (v in (1, 2, 3) and i != v - 1):
+                        fl = Flin(i, v)
+                        if fl is not None:
+                            acc -= xi_ref[:, 3 * a + i, :] * fl
+            if has_f2:
+                facc = xi_ref[:, 3 * a, :] * f2_ref[:, v, :]
+                facc += xi_ref[:, 3 * a + 1, :] * f2_ref[:, nq + v, :]
+                facc += xi_ref[:, 3 * a + 2, :] * f2_ref[:, 2 * nq + v, :]
+                acc += facc
+            parts.append(m * acc)
+        mf = jnp.concatenate(parts, axis=-1)
+        div = jax.lax.dot_general(
+            mf, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=mf.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, v, :] = mi * div
+
+
+@functools.partial(jax.jit, static_argnames=("nq", "R_d", "cv_d", "T_0",
+                                             "block_e", "subtract_ref",
+                                             "has_f2", "lin_dims",
+                                             "lin_gravity", "interpret"))
+def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv,
+                             nq: int, R_d: float, cv_d: float, T_0: float,
+                             block_e: int = 32, subtract_ref: bool = True,
+                             has_f2: bool = False, lin_dims: tuple = (),
+                             lin_gravity: bool = True,
+                             interpret: bool = False):
+    """Var-major fused volume tendency: qv [E, nq, Np] (rho, rhou(3),
+    rhoe, advected scalars...), p/phi/p_ref/M/MI [E, Np], ref3 [E, 3, Np]
+    (ref rhoe/rho/p; read when lin_dims non-empty), F2v [E, 3*nq, Np]
+    (coordinate-major second-order flux; read when has_f2), xiv
+    [E, 9, Np] (ξ_a,ᵢ at a*3+i), Wdiv [Np, 3*Np].  Returns var-major
+    tendency [E, nq, Np] == MI·weak_div(M·ξ·(F₁(q,p) + F₂ − F_lin))."""
+    E, _, Np = qv.shape
+    assert E % block_e == 0, (E, block_e)
+    grid = (E // block_e,)
+
+    def be(i):
+        return (i, 0, 0)
+
+    def be2(i):
+        return (i, 0)
+
+    kernel = functools.partial(_kernel_vm, nq=nq, R_d=R_d, cv_d=cv_d,
+                               T_0=T_0, subtract_ref=subtract_ref,
+                               has_f2=has_f2, lin_dims=lin_dims,
+                               lin_gravity=lin_gravity)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_e, nq, Np), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 3, Np), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 3 * nq, Np), be,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 9, Np), be, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 3 * Np), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_e, nq, Np), be,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, nq, Np), qv.dtype),
+        interpret=interpret,
+    )(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv)
+
+
 def supports(balance_law, grid, direction, remainder=None) -> bool:
     """True when the fused kernel covers this configuration."""
     from climatemachine_tpu.atmos.model import AtmosModel

@@ -73,6 +73,34 @@ class HeldSuarezForcing(Source):
             "rhoe": -k_T * rho * ps.cv_d * (T - T_equil),
         }
 
+    def contributions_vm(self, model, ctx, t):
+        """Var-major form (dg/fast_rhs.py): same formulas on [E, Np] /
+        [E, 3, Np] arrays with the vector axis at position 1; T and p are
+        the RHS's once-per-evaluation thermo fields."""
+        ps = model.param_set
+        day = ps.day
+        k_a, k_f, k_s = 1 / (40 * day), 1 / day, 1 / (4 * day)
+        rho, rhou, T, p = ctx.rho, ctx.rhou, ctx.T, ctx.p
+        coords = ctx.coords                             # [E, 3, Np]
+        r = jnp.sqrt(jnp.sum(coords * coords, axis=1))
+        phi = jnp.arcsin(jnp.clip(coords[:, 2] / r, -1.0, 1.0))
+        sigma = p / ps.MSLP
+        exner_p = sigma ** (ps.R_d / ps.cp_d)
+        height_factor = jnp.maximum(
+            0.0, (sigma - self.sigma_b) / (1 - self.sigma_b))
+        cosphi2 = jnp.cos(phi) ** 2
+        T_equil = (self.T_equator - self.dT_y * jnp.sin(phi) ** 2
+                   - self.dtheta_z * jnp.log(sigma) * cosphi2) * exner_p
+        T_equil = jnp.maximum(self.T_min, T_equil)
+        k_T = k_a + (k_s - k_a) * height_factor * cosphi2 ** 2
+        k_v = k_f * height_factor
+        k = ctx.grad_Phi / ps.grav
+        rhou_tan = rhou - jnp.sum(rhou * k, axis=1, keepdims=True) * k
+        return {
+            "rhou": -k_v[:, None, :] * rhou_tan,
+            "rhoe": -k_T * rho * ps.cv_d * (T - T_equil),
+        }
+
 
 def held_suarez_init(model, coords, aux, t):
     """Reference-state start + deterministic velocity perturbation
