@@ -90,6 +90,8 @@ class RoeNumericalFlux(NumericalFluxFirstOrder):
         TP, pP, _ = bl.recover_thermo(qP, auxP)
         hM = (s.get(qM, "rhoe") + pM) / rhoM
         hP = (s.get(qP, "rhoe") + pP) / rhoP
+        cM = td.soundspeed_air(ps, TM)
+        cP = td.soundspeed_air(ps, TP)
         Phi = bl.aux_get(auxM, "orientation.Phi")
 
         # Roe averages
@@ -100,7 +102,15 @@ class RoeNumericalFlux(NumericalFluxFirstOrder):
         hh = w * hM + (1 - w) * hP
         rhoh = sM * sP
         ke = 0.5 * jnp.sum(uh * uh, axis=-1)
-        c2 = (gamma - 1) * jnp.maximum(hh - ke - Phi, 1e-8)
+        # Roe-average of the PER-SIDE sound speeds (reference
+        # AtmosModel.jl:1071 c̃ = sqrt(roe_average(c⁻², c⁺²))).  The
+        # textbook c² = (γ−1)(h − ke − Φ) assumes e_int = cv·T; this
+        # framework uses the offset convention e_int = cv(T − T_0)
+        # (thermodynamics.py:77), for which that formula understates c²
+        # by R·T_0 ≈ 60% at tropospheric temperatures — wrong wave
+        # strengths that blew up the vertical-FV Roe fluxes (caught by
+        # the baroclinic_wave_fvm smoke test).
+        c2 = w * cM ** 2 + (1 - w) * cP ** 2
         ch = jnp.sqrt(c2)
         un = jnp.sum(uh * nrm, axis=-1)
 
@@ -124,8 +134,12 @@ class RoeNumericalFlux(NumericalFluxFirstOrder):
                   + l2[..., None] * (w2[..., None] * uh
                                      + rhoh[..., None] * dut)
                   + (l3 * w3)[..., None] * (uh + ch[..., None] * nrm))
+        # contact-wave energy: at constant (p, u) a density jump carries
+        # Δ(ρe) = Δρ·(ke + Φ − cv T_0) in the offset convention (ρT is
+        # constant across the contact, so Δ(ρ e_int) = −cv T_0 Δρ)
         d_rhoe = (l1 * w1 * (hh - ch * un)
-                  + l2 * (w2 * (ke + Phi) + rhoh * jnp.sum(uh * dut, -1))
+                  + l2 * (w2 * (ke + Phi - ps.cv_d * ps.T_0)
+                          + rhoh * jnp.sum(uh * dut, -1))
                   + l3 * w3 * (hh + ch * un))
 
         central = 0.5 * (_model_normal_flux(bl, nrm, qM, auxM, t)
@@ -135,26 +149,25 @@ class RoeNumericalFlux(NumericalFluxFirstOrder):
         out = s.set(out, "rhou", s.get(out, "rhou") - 0.5 * d_rhou)
         out = s.set(out, "rhoe", s.get(out, "rhoe") - 0.5 * d_rhoe)
 
-        # passive scalars: contact-wave upwinding
+        # passive scalars: contact-wave upwinding with Roe-averaged χ̃
+        # (reference AtmosModel.jl:1102-1131: (w1+w2)χ̃ + |ũᵀn|(Δρχ −
+        # χ̃Δp/c̃²) ≡ χ̃·d_ρ + |ũᵀn|(Δρχ − χ̃Δρ))
         extra = [n for n in s.names() if n not in ("rho", "rhou", "rhoe")]
         for name in extra:
-            phiM = s.get(qM, name) / rhoM[..., None] \
-                if s.get(qM, name).ndim == rhoM.ndim + 1 \
-                else s.get(qM, name) / rhoM
-            phiP = s.get(qP, name) / rhoP[..., None] \
-                if s.get(qP, name).ndim == rhoP.ndim + 1 \
-                else s.get(qP, name) / rhoP
-            if phiM.ndim == rhoM.ndim:
-                diss = l2 * (phiP * rhoP - phiM * rhoM
-                             - (phiM + phiP) / 2 * drho) \
-                    + (phiM + phiP) / 2 * d_rho
-                out = s.set(out, name, s.get(out, name) - 0.5 * diss)
+            vec = s.get(qM, name).ndim == rhoM.ndim + 1
+            phiM = s.get(qM, name) / (rhoM[..., None] if vec else rhoM)
+            phiP = s.get(qP, name) / (rhoP[..., None] if vec else rhoP)
+            phih = (w[..., None] if vec else w) * phiM \
+                + ((1 - w)[..., None] if vec else (1 - w)) * phiP
+            if not vec:
+                diss = (l2 * (phiP * rhoP - phiM * rhoM - phih * drho)
+                        + phih * d_rho)
             else:
                 diss = (l2[..., None]
                         * (phiP * rhoP[..., None] - phiM * rhoM[..., None]
-                           - (phiM + phiP) / 2 * drho[..., None])
-                        + (phiM + phiP) / 2 * d_rho[..., None])
-                out = s.set(out, name, s.get(out, name) - 0.5 * diss)
+                           - phih * drho[..., None])
+                        + phih * d_rho[..., None])
+            out = s.set(out, name, s.get(out, name) - 0.5 * diss)
         return out
 
 

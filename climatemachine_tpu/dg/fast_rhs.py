@@ -242,11 +242,14 @@ class VarMajorRHS:
             c_s = td.soundspeed_air(ps, T)
         return T, p, c_s, auxv
 
-    # --- hyperdiffusion chain -> F2 ---------------------------------------------
-    def _hyper_F2(self, qv, auxv, T, p, t):
-        """Var-major LDG chain + transform + hyper flux, returning the
-        coordinate-major second-order flux F2v [E, 3, nq, Np] (reference
-        DGModel.jl:226-310 chain; DryBiharmonic transform/flux)."""
+    # --- hyperdiffusion chain ----------------------------------------------------
+    def _chain(self, qv, auxv, T, p, t):
+        """Var-major LDG chain (reference DGModel.jl:226-310): returns
+        (gl2 [E, 3, ngl, Np], nu [E, 2, Np]) — the ∇Δ of (u_h, h_tot
+        [, q_tot]) and the (ν₄, ν₄_q) coefficients.  The hyperdiffusive
+        FLUX is never materialized: the volume kernel builds it in VMEM
+        and the surface pass builds its n·F₂ trace from extracted
+        lanes."""
         bl, g, dg = self.bl, self.grid, self.dg
         ps = bl.param_set
         rho = qv[:, 0, :]
@@ -272,42 +275,11 @@ class VarMajorRHS:
 
         delta = self._aux(auxv, "hyperdiffusion.delta")
         nu4 = (delta / 2) ** 4 / (2 * self.hd.tau_timescale)
-        nq = self.nq
-        E, Np = rho.shape
-        F2 = jnp.zeros((E, 3, nq, Np), dtype=qv.dtype)
-        gu = nu4[:, None, None, :] * gl2[:, :, 0:3, :]   # [E, 3, 3, Np]
-        F2 = F2.at[:, :, 1:4, :].set(rho[:, None, None, :] * gu)
-        Fe = (jnp.sum(gu * ru[:, None, :, :], axis=2)
-              + rho[:, None, :] * nu4[:, None, :] * gl2[:, :, 3, :])
-        F2 = F2.at[:, :, 4, :].set(Fe)
         if self.moist:
             nu4q = (delta / 2) ** 4 / (2 * self.hd.tau_timescale_q_tot)
-            F2 = F2.at[:, :, 5, :].set(
-                rho[:, None, :] * nu4q[:, None, :] * gl2[:, :, 4, :])
-        return F2
-
-    def _scalar_hyper_vm(self, F2v, faces):
-        """Var-major hyper-only second-order interface correction (same
-        math as ldg_varmajor.scalar_hyper_correction, minus the
-        node-major boundary transposes): returns [E, nq, Np]."""
-        dg, g = self.dg, self.grid
-        E, _, nq, Np = F2v.shape
-        Nfp = g.Nfp_max
-        halo = dg.row_halo.get(tuple(faces))
-        tab = _lvm._tables(dg, tuple(faces), nq)
-        nfa, F = tab["nfa"], tab["F"]
-        sM, nrm, _, _ = _lvm._geom(dg, faces, self.dims_every)
-        SelT = jnp.asarray(tab["SelT"])
-        rows3 = jnp.matmul(F2v.reshape(E * 3 * nq, Np), SelT,
-                           precision=_HI).reshape(E, 3, nq, F)
-        s = jnp.sum(nrm[:, :, None, :] * rows3, axis=1)
-        sP = _lvm._exchange(s, tab, E, nq, nfa, Nfp, halo)
-        interior = (jnp.asarray(tab["sign"]) < 0)[:, None, :]
-        d2 = jnp.where(interior, 0.5 * (s - sP), 0.0)
-        LT = jnp.asarray(tab["LT"])
-        corr = jnp.matmul((sM * d2).reshape(E * nq, F), LT,
-                          precision=_HI).reshape(E, nq, Np)
-        return -(g.MI[:, None, :] * corr)
+        else:
+            nu4q = jnp.zeros_like(nu4)
+        return gl2, jnp.stack([nu4, nu4q], axis=1)
 
     # --- surface ----------------------------------------------------------------
     def _surf_tables(self):
@@ -315,11 +287,19 @@ class VarMajorRHS:
         from climatemachine_tpu.dg import fast_surface as _fs
         self._stab = _fs._tables(self.dg)
 
-    def _surface(self, qv, auxv, p, c_s, t):
+    def _surface(self, qv, auxv, p, c_s, t, hyper=None):
         """Generic-width var-major Rusanov surface pass: −M⁻¹L(sM·f*).
         Faces are nodal subsets, so face thermo (p, c) is EXTRACTED, not
         recomputed (reference dgsem_interface_tendency!,
-        DGModel_kernels.jl:588)."""
+        DGModel_kernels.jl:588).
+
+        With ``hyper = (gl2, nu)`` the hyper-only second-order interface
+        correction is FUSED in: the chain-output lanes ride the same
+        extraction matmul, the n·F₂ trace is built on the face tiles,
+        its scalar exchange rides the same neighbor gather, and the
+        combined face term rides one lift (one bundle, one gather, one
+        lift — the reference's generic second-order interface pass,
+        DGModel_kernels.jl:588 second-order part)."""
         bl, g, dg = self.bl, self.grid, self.dg
         ps = bl.param_set
         E, Np, nface, Nfp = g.nelem, g.Np, g.nface, g.Nfp_max
@@ -346,9 +326,42 @@ class VarMajorRHS:
             parts += [phi[:, None, :], coeff[:, None, :], cl[:, None, :]]
         B = jnp.concatenate(parts, axis=1)               # [E, nvb, Np]
         nvb = B.shape[1]
+        nX = 0
+        ngl = 0
+        if hyper is not None:
+            gl2, nu = hyper
+            ngl = gl2.shape[2]
+            nX = 3 * ngl + 2
+            B = jnp.concatenate(
+                [B, gl2.reshape(E, 3 * ngl, g.Np), nu], axis=1)
 
-        Bf = jnp.matmul(B.reshape(E * nvb, Np), g.lift,
-                        precision=_HI).reshape(E, nvb, X)
+        Bx = jnp.matmul(B.reshape(E * (nvb + nX), Np), g.lift,
+                        precision=_HI).reshape(E, nvb + nX, X)
+
+        nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, X)
+        sM = g.sM.reshape(E, 1, X)
+        bmask = tab["bnd_lane"][:, None, :]
+
+        Bf = Bx[:, :nvb]
+        if hyper is not None:
+            # scalar n·F₂ trace from the extracted chain lanes: each
+            # side contracts ITS OWN volume F₂ with its outward normal;
+            # only the nq trace lanes ride the gather
+            gl2f = Bx[:, nvb:nvb + 3 * ngl].reshape(E, 3, ngl, X)
+            nu4f = Bx[:, nvb + 3 * ngl]
+            nu4qf = Bx[:, nvb + 3 * ngl + 1]
+            G = jnp.sum(nrm[:, :, None, :] * gl2f, axis=1)   # [E, ngl, X]
+            rhoF = Bf[:, 0]
+            rnu = rhoF * nu4f
+            s_list = [jnp.zeros_like(rhoF)]
+            for j in range(3):
+                s_list.append(rnu * G[:, j])
+            s_list.append(nu4f * sum(Bf[:, 1 + j] * G[:, j]
+                                     for j in range(3)) + rnu * G[:, 3])
+            if nq > 5:
+                s_list.append(rhoF * nu4qf * G[:, 4])
+            Bf = jnp.concatenate([Bf, jnp.stack(s_list, axis=1)], axis=1)
+            nvb += nq
 
         halo = dg.row_halo.get(self.all_faces)
         if halo is not None:
@@ -367,10 +380,6 @@ class VarMajorRHS:
                     blk = blk.at[rows].set(fixed)
                 blocks.append(blk)
             BP = jnp.concatenate(blocks, axis=2)
-
-        nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, X)
-        sM = g.sM.reshape(E, 1, X)
-        bmask = tab["bnd_lane"][:, None, :]
 
         # boundary ghost: reflect normal momentum, copy everything else
         # (Impenetrable(FreeSlip) + Insulating + Impermeable; T/p/c are
@@ -403,13 +412,23 @@ class VarMajorRHS:
                            - 0.5 * c * (BP[:, v] - Bf[:, v])
                            for v in range(nq)], axis=1)
 
+        if hyper is not None:
+            # fused hyper interface correction: +0.5(s⁻ − s⁺) on interior
+            # faces rides the same lift (same math as the generic
+            # _scalar_hyper_correction; wall faces carry no transport)
+            sl_h = slice(nvb - nq, nvb)
+            d2 = jnp.where(bmask, 0.0,
+                           0.5 * (Bf[:, sl_h] - BP[:, sl_h]))
+            fstar = fstar + d2
+
         if rem is not None:
             from climatemachine_tpu.dg.spatial import direction_faces
             lin, ldir = rem
             lfaces = direction_faces(ldir, 3)
             sl = slice(lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp)
             nrm_s = nrm[:, :, sl]
-            i_lphi, i_lco, i_lcl = nvb - 3, nvb - 2, nvb - 1
+            nvb0 = nvb - (nq if hyper is not None else 0)
+            i_lphi, i_lco, i_lcl = nvb0 - 3, nvb0 - 2, nvb0 - 1
 
             def flux_lin(Bs):
                 rho, rhoe, phi = Bs[:, 0, sl], Bs[:, 4, sl], Bs[:, i_lphi, sl]
@@ -458,11 +477,11 @@ class VarMajorRHS:
         ps = bl.param_set
         T, p, c_s, auxv = self._thermo_update(qv, auxv, t)
 
-        F2v = None
+        hyper = None
         if self.hd is not None:
-            F2v = self._hyper_F2(qv, auxv, T, p, t)      # [E, 3, nq, Np]
+            hyper = self._chain(qv, auxv, T, p, t)   # (gl2, nu)
 
-        # volume (+ fused F2 divergence + fused remainder)
+        # volume (+ in-VMEM hyper flux divergence + fused remainder)
         from climatemachine_tpu.dg.pallas_volume import \
             fused_volume_tendency_vm
         subtract = bl.ref_state.subtract_off
@@ -483,21 +502,24 @@ class VarMajorRHS:
         else:
             ref3 = jnp.zeros((g.nelem, 3, g.Np), dtype=qv.dtype)
         nq = self.nq
-        F2k = (F2v.reshape(g.nelem, 3 * nq, g.Np) if F2v is not None
-               else jnp.zeros((g.nelem, 3 * nq, g.Np), dtype=qv.dtype))
+        if hyper is not None:
+            gl2, nu = hyper
+            ngl = gl2.shape[2]
+            gl2k = gl2.reshape(g.nelem, 3 * ngl, g.Np)
+        else:
+            ngl = 1
+            gl2k = jnp.zeros((g.nelem, 3, g.Np), dtype=qv.dtype)
+            nu = jnp.zeros((g.nelem, 2, g.Np), dtype=qv.dtype)
         xiv = g.xi_x.transpose(0, 2, 3, 1).reshape(g.nelem, 9, g.Np)
         tend = fused_volume_tendency_vm(
-            qv, p, phi, p_ref, ref3, F2k, xiv, g.M, g.MI, g.Wdiv,
-            nq=nq, R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
+            qv, p, phi, p_ref, ref3, gl2k, nu, xiv, g.M, g.MI, g.Wdiv,
+            nq=nq, ngl=ngl, R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
             block_e=self.block_e, subtract_ref=subtract,
-            has_f2=F2v is not None, lin_dims=lin_dims,
+            has_f2=hyper is not None, lin_dims=lin_dims,
             lin_gravity=lin_gravity, interpret=self.interpret)
 
-        # surface + hyper interface correction + sources
-        tend = tend + self._surface(qv, auxv, p, c_s, t)
-        if F2v is not None:
-            tend = tend + self._scalar_hyper_vm(
-                F2v, tuple(range(g.nface)))
+        # surface (with the hyper interface correction fused) + sources
+        tend = tend + self._surface(qv, auxv, p, c_s, t, hyper=hyper)
         tend = tend + self._sources(qv, auxv, T, p, t)
         if self.rem is not None and self.lin_gravity:
             # subtract the linear model's gravity source −ρ∇Φ

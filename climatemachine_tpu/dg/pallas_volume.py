@@ -150,12 +150,15 @@ def dry_volume_tendency(q, phi, p_ref, ref3, xi_x, M, MI, Wdiv,
     return out.transpose(0, 2, 1)
 
 
-def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, f2_ref, xi_ref,
-               m_ref, mi_ref, w_ref, out_ref, *, nq, R_d, cv_d, T_0,
-               subtract_ref, has_f2, lin_dims, lin_gravity):
+def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, gl2_ref, nu_ref,
+               xi_ref, m_ref, mi_ref, w_ref, out_ref, *, nq, ngl, R_d,
+               cv_d, T_0, subtract_ref, has_f2, lin_dims, lin_gravity):
     """Var-major fused volume kernel (round 4): first-order flux from the
-    PRECOMPUTED pressure (thermo runs once per RHS, outside), optional
-    second-order flux F2 folded into the same weak-divergence matmul,
+    PRECOMPUTED pressure (thermo runs once per RHS, outside), the
+    hyperdiffusive second-order flux built IN VMEM from the chain output
+    gl2 (= ∇Δ of (u_h, h_tot[, q_tot])) and folded into the same
+    weak-divergence matmul (the materialized [E, 3, nq, Np] F2 tensor
+    measured 3.9 ms of pure HBM assembly at bench scale), and an
     optional fused-remainder linear-flux subtraction.  Generic over the
     prognostic width: variables are (rho, rhou(3), rhoe, extras...) where
     every extra (rhoq_tot, tracers) advects with u."""
@@ -178,6 +181,29 @@ def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, f2_ref, xi_ref,
         if v == 4:
             return h * u[i]
         return q_ref[:, v, :] * u[i]          # advected scalars
+
+    F2 = None
+    if has_f2:
+        nu4 = nu_ref[:, 0, :]
+        rnu = rho * nu4
+
+        def F2(i, v):
+            """Hyperdiffusive flux (DryBiharmonic/EquilMoistBiharmonic
+            .flux): F2[i][rhou_j] = ρ ν₄ gl2[i,j]; F2[i][rhoe] =
+            ν₄ Σ_j gl2[i,j] ρu_j + ρ ν₄ gl2[i,3]; F2[i][rhoq] =
+            ρ ν₄q gl2[i,4]."""
+            def g(j):
+                return gl2_ref[:, i * ngl + j, :]
+            if v == 0:
+                return None
+            if v in (1, 2, 3):
+                return rnu * g(v - 1)
+            if v == 4:
+                return nu4 * (ru[0] * g(0) + ru[1] * g(1)
+                              + ru[2] * g(2)) + rnu * g(3)
+            if v == 5 and ngl >= 5:
+                return rho * nu_ref[:, 1, :] * g(4)
+            return None
 
     Flin = None
     if lin_dims:
@@ -216,11 +242,11 @@ def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, f2_ref, xi_ref,
                         fl = Flin(i, v)
                         if fl is not None:
                             acc -= xi_ref[:, 3 * a + i, :] * fl
-            if has_f2:
-                facc = xi_ref[:, 3 * a, :] * f2_ref[:, v, :]
-                facc += xi_ref[:, 3 * a + 1, :] * f2_ref[:, nq + v, :]
-                facc += xi_ref[:, 3 * a + 2, :] * f2_ref[:, 2 * nq + v, :]
-                acc += facc
+            if F2 is not None:
+                for i in range(3):
+                    f2 = F2(i, v)
+                    if f2 is not None:
+                        acc += xi_ref[:, 3 * a + i, :] * f2
             parts.append(m * acc)
         mf = jnp.concatenate(parts, axis=-1)
         div = jax.lax.dot_general(
@@ -230,22 +256,25 @@ def _kernel_vm(q_ref, p_ref, phi_ref, pref_ref, ref3_ref, f2_ref, xi_ref,
         out_ref[:, v, :] = mi * div
 
 
-@functools.partial(jax.jit, static_argnames=("nq", "R_d", "cv_d", "T_0",
-                                             "block_e", "subtract_ref",
-                                             "has_f2", "lin_dims",
-                                             "lin_gravity", "interpret"))
-def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv,
-                             nq: int, R_d: float, cv_d: float, T_0: float,
+@functools.partial(jax.jit, static_argnames=("nq", "ngl", "R_d", "cv_d",
+                                             "T_0", "block_e",
+                                             "subtract_ref", "has_f2",
+                                             "lin_dims", "lin_gravity",
+                                             "interpret"))
+def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, gl2, nu, xiv, M, MI,
+                             Wdiv, nq: int, ngl: int, R_d: float,
+                             cv_d: float, T_0: float,
                              block_e: int = 32, subtract_ref: bool = True,
                              has_f2: bool = False, lin_dims: tuple = (),
                              lin_gravity: bool = True,
                              interpret: bool = False):
     """Var-major fused volume tendency: qv [E, nq, Np] (rho, rhou(3),
     rhoe, advected scalars...), p/phi/p_ref/M/MI [E, Np], ref3 [E, 3, Np]
-    (ref rhoe/rho/p; read when lin_dims non-empty), F2v [E, 3*nq, Np]
-    (coordinate-major second-order flux; read when has_f2), xiv
-    [E, 9, Np] (ξ_a,ᵢ at a*3+i), Wdiv [Np, 3*Np].  Returns var-major
-    tendency [E, nq, Np] == MI·weak_div(M·ξ·(F₁(q,p) + F₂ − F_lin))."""
+    (ref rhoe/rho/p; read when lin_dims non-empty), gl2 [E, 3*ngl, Np]
+    (coordinate-major chain output; read when has_f2) with nu [E, 2, Np]
+    (ν₄, ν₄_q), xiv [E, 9, Np] (ξ_a,ᵢ at a*3+i), Wdiv [Np, 3*Np].
+    Returns var-major tendency [E, nq, Np]
+    == MI·weak_div(M·ξ·(F₁(q,p) + F₂(gl2,ν₄) − F_lin))."""
     E, _, Np = qv.shape
     assert E % block_e == 0, (E, block_e)
     grid = (E // block_e,)
@@ -256,8 +285,9 @@ def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv,
     def be2(i):
         return (i, 0)
 
-    kernel = functools.partial(_kernel_vm, nq=nq, R_d=R_d, cv_d=cv_d,
-                               T_0=T_0, subtract_ref=subtract_ref,
+    kernel = functools.partial(_kernel_vm, nq=nq, ngl=ngl, R_d=R_d,
+                               cv_d=cv_d, T_0=T_0,
+                               subtract_ref=subtract_ref,
                                has_f2=has_f2, lin_dims=lin_dims,
                                lin_gravity=lin_gravity)
     return pl.pallas_call(
@@ -269,8 +299,9 @@ def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv,
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, 3, Np), be, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_e, 3 * nq, Np), be,
+            pl.BlockSpec((block_e, 3 * ngl, Np), be,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 2, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, 9, Np), be, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
@@ -281,7 +312,7 @@ def fused_volume_tendency_vm(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, nq, Np), qv.dtype),
         interpret=interpret,
-    )(qv, p, phi, p_ref, ref3, F2v, xiv, M, MI, Wdiv)
+    )(qv, p, phi, p_ref, ref3, gl2, nu, xiv, M, MI, Wdiv)
 
 
 def supports(balance_law, grid, direction, remainder=None) -> bool:

@@ -53,6 +53,11 @@ class IMEXSolverType:
     # actually aux/t-independent (a time-dependent linear model would
     # otherwise silently use a stale factorization)
     check_frozen_operator: bool = True
+    # "vm": integrator state rides the var-major fast RHS layout
+    # (dg/fast_rhs.py) when supported — q/aux are [E, n, Np]; "grid":
+    # node-major [E, Np, n]; "auto" picks vm when fast_rhs supports the
+    # configuration on a local (non-sharded) grid
+    state_layout: str = "auto"
 
     def getdtmodel(self, bl):
         """Most restrictive dynamics are treated implicitly (reference
@@ -119,6 +124,26 @@ class IMEXSolverType:
         # with the linear split absorbed into the stage coefficients —
         # cheaper than the fused remainder (ode/ark.py _step_blocks)
         solver.rhs_full = lambda q, a, t: dg(q, a, t)
+        # var-major state layout: the full RHS and the grid<->block
+        # converters operate on [E, n, Np] states (dg/fast_rhs.py);
+        # callers convert q0/aux0 with solver.to_vm/from_vm
+        solver.vm = None
+        blocks_path = (hasattr(col_solver, "solve_blocks")
+                       and getattr(col_solver, "exact_linear_solve", False)
+                       and getattr(col_solver, "implied_g", "op") == "op")
+        if self.state_layout in ("auto", "vm") and not sharded \
+                and blocks_path:
+            from climatemachine_tpu.dg import fast_rhs as _fr
+            if _fr.supports(dg):
+                vm = _fr.VarMajorRHS(dg)
+                solver.vm = vm
+                solver.rhs_full = vm
+                from climatemachine_tpu.solvers.columnwise import \
+                    VMColumnLayout
+                col_solver.state_layout = VMColumnLayout(layout)
+            elif self.state_layout == "vm":
+                raise ValueError("state_layout='vm' requested but "
+                                 "fast_rhs does not support this config")
         # eager factorization for every distinct implicit diagonal
         import numpy as np
         for g in sorted({float(solver.A_im[i, i])

@@ -156,7 +156,11 @@ class AdditiveRungeKutta:
         linear flux assembly), and the final G accumulation — with its
         block→grid transpose — disappears."""
         sv = self.solver
-        lay = sv.layout
+        # state_layout overrides the grid<->block converters when the
+        # integrator state rides a different grid layout (var-major
+        # VMColumnLayout for the fast_rhs path); the solver's own block
+        # layout is untouched
+        lay = getattr(sv, "state_layout", None) or sv.layout
         rhs_full = getattr(self, "rhs_full", None)
         Fs, Gbs = [], []
         Qi = q

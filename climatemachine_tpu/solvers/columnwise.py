@@ -90,6 +90,30 @@ class ColumnLayout:
         return xb.reshape(self.n_horz * self.n_vert, self.Np, self.nvars)
 
 
+class VMColumnLayout:
+    """ColumnLayout adapter for VAR-MAJOR grid states [E, nvars, Np]
+    (dg/fast_rhs.py): same block layout [nv, (k, var), (Eh, j, i)], but
+    the grid side never materializes the lane-padded trailing-variable
+    form — the transpose source keeps Np-lanes tiles."""
+
+    def __init__(self, layout: ColumnLayout):
+        self._l = layout
+
+    def to_blocks(self, x):
+        l = self._l
+        Nq1, Nq2, Nq3 = l.Nq
+        xb = x.reshape(l.n_horz, l.n_vert, l.nvars, Nq3, Nq2, Nq1)
+        xb = jnp.transpose(xb, (1, 3, 2, 0, 4, 5))   # [ev, k, v, Eh, j, i]
+        return xb.reshape(l.n_vert, Nq3 * l.nvars, l.ncol)
+
+    def from_blocks(self, yb):
+        l = self._l
+        Nq1, Nq2, Nq3 = l.Nq
+        xb = yb.reshape(l.n_vert, Nq3, l.nvars, l.n_horz, Nq2, Nq1)
+        xb = jnp.transpose(xb, (3, 0, 2, 1, 4, 5))   # [Eh, ev, v, k, j, i]
+        return xb.reshape(l.n_horz * l.n_vert, l.nvars, l.Np)
+
+
 class BlockTridiagColumnSolver:
     """Scalable columnwise solve of (I − α·dt·L) via block-Thomas
     (reference ManyColumnLU / band_lu!/band_forward!/band_back!,

@@ -91,11 +91,13 @@ def main():
     print(f"max spurious |u| = {umax:.3e} m/s, finite = {finite}")
     assert finite
     # free-stream preservation: the O(dz^2) curvature residual of the
-    # FV column on the sphere converges ~2nd order in the cell height
-    # (measured: 14.4 m/s at 5 cells / 6 km -> 1.3 at 12 -> ~0.5 at the
-    # reference's 20 cells over 30 km); gate at a resolution-aware bound
+    # FV column on the sphere converges ~2nd order in the cell height.
+    # Re-calibrated after the round-4 Roe sound-speed fix (the offset
+    # e_int convention, atmos/numerical_fluxes.py): 5.4 m/s at 5 cells /
+    # 6 km -> 0.60 at 10 cells / 3 km (t = 120 s, p3 n_horz=2); gate at
+    # ~1.3x the measured envelope
     dz_km = 30.0 / args.n_vert
-    assert umax < max(0.6 * dz_km ** 2, 0.5), (umax, dz_km)
+    assert umax < max(0.2 * dz_km ** 2, 0.3), (umax, dz_km)
 
 
 if __name__ == "__main__":

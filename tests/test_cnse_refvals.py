@@ -238,11 +238,28 @@ def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
     return out
 
 
+def test_bickley_jet_3d_smoke():
+    """20-step smoke of the ACTUAL 3-D Bickley runner used by the golden
+    gate below (small grid, same code path: init, Roe flux,
+    overintegration filter, SSPRK22Heuns): dynamics stay finite, mass is
+    conserved, and the perturbation grows the cross-jet components."""
+    fields = _run_bickley3d(4, 2, nsteps=20, dt=0.004)
+    for key, row in fields.items():
+        assert all(np.isfinite(v) for v in row), (key, row)
+    lo, hi, mean, _ = fields[("state", "rho")]
+    assert abs(mean - 1.0) < 1e-12
+    assert hi - lo > 0           # jet shear is active
+    assert fields[("state", "rhou[2]")][3] > 0  # v perturbation alive
+    assert fields[("state", "rhou[3]")][3] > 0  # w perturbation alive
+
+
 @pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
                     reason="25,000-step 3-D runs; set CLIMATE_SLOW_REFVALS=1 "
-                    "(~12 h CPU for first_order at 1.7 s/step measured; "
-                    "the machinery is validated by the 2-D tables, the "
-                    "buoyancy column, and a 20-step finite-dynamics smoke)")
+                    "(~12 h CPU for first_order at 1.7 s/step measured, "
+                    "~3 h for fourth_order; the runner is smoke-tested by "
+                    "test_bickley_jet_3d_smoke above; fourth_order full-run "
+                    "status: see scripts/golden_run_bickley3d.py log note "
+                    "below)")
 @pytest.mark.parametrize("name,elems,order", [("first_order", 32, 1),
                                               ("fourth_order", 13, 4)])
 def test_bickley_jet_3d_reference_refvals(name, elems, order):

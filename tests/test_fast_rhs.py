@@ -98,6 +98,31 @@ def test_fast_rhs_parity_remainder():
     assert float(err.max()) < 1e-11, np.asarray(err)
 
 
+def test_fast_rhs_imex_step_parity():
+    """IMEX ARK2GKC with var-major state (VMColumnLayout + fast_rhs as
+    rhs_full) matches the grid-layout step at round-off."""
+    from climatemachine_tpu.driver.solver_types import IMEXSolverType
+    from climatemachine_tpu.mesh.grid import min_node_distance
+
+    dg = _hs_dg()
+    q, aux = init_ode_state(dg)
+    dt = 0.1 * float(min_node_distance(dg.grid, "horizontal")) / 350.0
+
+    ref = IMEXSolverType(state_layout="grid").make(dg, q, aux, dt)
+    assert ref.vm is None
+    q1, _ = ref.step(q, aux, 0.0)
+
+    fast = IMEXSolverType().make(dg, q, aux, dt)
+    assert fast.vm is not None
+    vm = fast.vm
+    q1v, _ = fast.step(vm.to_vm(q), vm.aux_to_vm(aux), 0.0)
+    q2 = vm.from_vm(q1v)
+    scale = jnp.max(jnp.abs(q1), axis=(0, 1))
+    err = jnp.max(jnp.abs(q2 - q1), axis=(0, 1)) / scale
+    # round-off accumulates over 3 ARK stages + 2 columnwise solves
+    assert float(err.max()) < 5e-12, np.asarray(err)
+
+
 def test_fast_rhs_step_parity():
     """A jitted LSRK54 step in var-major layout matches the generic step
     (integrators are layout-agnostic)."""
