@@ -25,13 +25,33 @@ from climatemachine_tpu.solvers.columnwise import (BlockTridiagColumnSolver,
 class ExplicitSolverType:
     """Reference ExplicitSolverType.jl:17."""
     solver_method: Callable = LSRK54CarpenterKennedy
+    # "vm"/"auto": integrate in the var-major fast-RHS layout when
+    # dg/fast_rhs.py supports the configuration (solver.vm is set; the
+    # solve() loop converts once at its boundary); "grid": generic RHS
+    state_layout: str = "auto"
 
     def make(self, dg: DGModel, q0, aux0, dt: float):
+        rhs = lambda q, a, t: dg(q, a, t)
+        vm = None
+        sharded = hasattr(dg, "inner") and hasattr(dg, "mesh")
+        if self.state_layout in ("auto", "vm") and not sharded:
+            from climatemachine_tpu.balance_laws.interface import BalanceLaw
+            from climatemachine_tpu.dg import fast_rhs as _fr
+            identity_pre = (type(dg.balance_law).preprocess_state
+                            is BalanceLaw.preprocess_state)
+            if identity_pre and _fr.supports(dg):
+                vm = _fr.VarMajorRHS(dg)
+                rhs = vm
+            elif self.state_layout == "vm":
+                raise ValueError("state_layout='vm' requested but "
+                                 "fast_rhs does not support this config")
         try:
-            return self.solver_method(lambda q, a, t: dg(q, a, t), dt,
-                                      pre_stage=dg.pre_stage)
+            solver = self.solver_method(
+                rhs, dt, pre_stage=None if vm is not None else dg.pre_stage)
         except TypeError:
-            return self.solver_method(lambda q, a, t: dg(q, a, t), dt)
+            solver = self.solver_method(rhs, dt)
+        solver.vm = vm
+        return solver
 
     def getdtmodel(self, bl):
         """Model with the most restrictive dt (reference

@@ -19,8 +19,35 @@ from functools import partial
 
 
 class SolveState:
-    def __init__(self, q, aux, t, step):
-        self.q, self.aux, self.t, self.step = q, aux, t, step
+    """Host-side loop state handed to callbacks.
+
+    ``q``/``aux`` always present the public node-major ``[E, Np, n]``
+    layout.  When the solver integrates in a different internal layout
+    (``solver.vm`` — the var-major fast-RHS path, dg/fast_rhs.py), the
+    internal arrays are stored as-is and converted LAZILY on first
+    access, so interval-gated callbacks that fire rarely never pay the
+    transpose on quiet steps."""
+
+    def __init__(self, q, aux, t, step, convert=None):
+        self._qi, self._auxi, self.t, self.step = q, aux, t, step
+        self._convert = convert
+        self._pub = None if convert is not None else (q, aux)
+
+    def set_internal(self, q, aux, t, step):
+        self._qi, self._auxi, self.t, self.step = q, aux, t, step
+        self._pub = None if self._convert is not None else (q, aux)
+
+    @property
+    def q(self):
+        if self._pub is None:
+            self._pub = self._convert(self._qi, self._auxi)
+        return self._pub[0]
+
+    @property
+    def aux(self):
+        if self._pub is None:
+            self._pub = self._convert(self._qi, self._auxi)
+        return self._pub[1]
 
 
 def solve(q, aux, solver, timeend: float, t0: float = 0.0,
@@ -31,6 +58,10 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
     callbacks follow the reference GenericCallbacks protocol: objects with
     ``init(state)``, ``call(state) -> bool_stop``, ``fini(state)`` (any may
     be absent).  Returns the final SolveState.
+
+    ``q``/``aux`` enter and leave in the public node-major layout; if the
+    solver carries an internal layout (``solver.vm``), conversion happens
+    once here at the loop boundary — the hot steps are transpose-free.
     """
     dt = solver.dt
     if numberofsteps is None:
@@ -46,7 +77,13 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
 
     jit_step = _make_jit_step()
 
-    state = SolveState(q, aux, t0, 0)
+    vm = getattr(solver, "vm", None)
+    convert = None
+    if vm is not None:
+        q, aux = vm.to_vm(q), vm.aux_to_vm(aux)
+        convert = lambda qi, ai: (vm.from_vm(qi), vm.aux_from_vm(ai))
+
+    state = SolveState(q, aux, t0, 0, convert=convert)
     for cb in callbacks:
         if hasattr(cb, "init"):
             cb.init(state)
@@ -70,10 +107,10 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
             step_dt = timeend - t
             solver_dt = solver.dt
             solver.dt = step_dt
-            q, aux = _make_jit_step()(state.q, state.aux, t)
+            q, aux = _make_jit_step()(state._qi, state._auxi, t)
             solver.dt = solver_dt
         else:
-            q, aux = jit_step(state.q, state.aux, t)
+            q, aux = jit_step(state._qi, state._auxi, t)
         if adjustfinalstep:
             t = min(t + step_dt, timeend)
         elif adapted:
@@ -81,7 +118,7 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
         else:
             # drift-free for a fixed dt
             t = t0 + (istep + 1) * dt
-        state.q, state.aux, state.t, state.step = q, aux, t, istep + 1
+        state.set_internal(q, aux, t, istep + 1)
 
         stop = False
         for cb in callbacks:

@@ -90,3 +90,13 @@ for ms, label in ((16.1, "r2 explicit RHS 16.1 ms"),
     print(f"  {label:32s} -> {tf:6.2f} TFLOP/s achieved "
           f"({100 * tf / 197:.1f}% of v5e bf16 peak, "
           f"{100 * tf / 49:.1f}% of ~f32-HIGHEST est.)")
+
+# cross-check: the importable util (climatemachine_tpu/utils/flops.py)
+# mirrors this budget for bench.py's MFU column — keep them in agreement
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from climatemachine_tpu.utils.flops import budget as _budget  # noqa: E402
+_b = _budget(nh, nv, p)
+assert abs(_b["rhs"] - rhs) < 1e-6 * rhs, (_b["rhs"], rhs)
+assert abs(_b["imex_step"] - imex) < 1e-6 * imex, (_b["imex_step"], imex)
+print("\n[util cross-check OK: climatemachine_tpu.utils.flops agrees]")

@@ -141,3 +141,38 @@ def test_fast_rhs_step_parity():
     scale = jnp.max(jnp.abs(q_ref), axis=(0, 1))
     err = jnp.max(jnp.abs(q2 - q_ref), axis=(0, 1)) / scale
     assert float(err.max()) < 1e-12, np.asarray(err)
+
+
+def test_solve_loop_vm_transparent():
+    """solve() integrates in the solver's internal var-major layout but
+    presents node-major q/aux at its boundary and to callbacks
+    (ExplicitSolverType state_layout='auto' → solver.vm; the loop
+    converts once, SolveState converts lazily for callbacks)."""
+    from climatemachine_tpu.driver.solver_types import ExplicitSolverType
+    from climatemachine_tpu.ode.solve import solve
+
+    dg = _hs_dg()
+    q, aux = init_ode_state(dg)
+    dt = 10.0
+
+    ref = ExplicitSolverType(state_layout="grid").make(dg, q, aux, dt)
+    assert ref.vm is None
+    st_ref = solve(q, aux, ref, timeend=3 * dt)
+
+    fast = ExplicitSolverType().make(dg, q, aux, dt)
+    assert fast.vm is not None
+    seen = []
+
+    class Probe:
+        def call(self, state):
+            # callbacks must observe the public node-major layout
+            seen.append((state.step, np.asarray(state.q)))
+            return False
+
+    st = solve(q, aux, fast, timeend=3 * dt, callbacks=[Probe()])
+    assert st.q.shape == q.shape and st.aux.shape == aux.shape
+    scale = float(jnp.max(jnp.abs(st_ref.q)))
+    assert float(jnp.max(jnp.abs(st.q - st_ref.q))) / scale < 1e-12
+    assert len(seen) == 3
+    assert seen[0][1].shape == q.shape
+    np.testing.assert_allclose(seen[-1][1], np.asarray(st.q), rtol=0)
