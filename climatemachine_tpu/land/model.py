@@ -262,11 +262,15 @@ class LandModel(BalanceLaw):
         if self.soil.heat is not None and isinstance(bc.heat, Dirichlet):
             val = bc.heat.value(t) if callable(bc.heat.value) else \
                 bc.heat.value
-            p = self.soil.params
-            re = p.rho_c_soil * (val - self.soil.heat.T_ref)
-            qP = self.prog_spec.set(
-                qP, "rho_e_int",
-                2.0 * re - self.prog(q_minus, "rho_e_int"))
+            # target ρe_int consistent with the minus-side water content
+            # (with coupled_properties the heat capacity and ice latent
+            # term depend on θ; using the minus-side θ makes the
+            # reconstructed ghost temperature mirror the Dirichlet value)
+            _, th_i = self._water_content(q_minus)
+            re_m = self.prog(q_minus, "rho_e_int")
+            re = self.rho_e_int_from_T(q_minus, jnp.full_like(re_m, val),
+                                       th_i)
+            qP = self.prog_spec.set(qP, "rho_e_int", 2.0 * re - re_m)
         return qP, auxP
 
     def boundary_state_gradient_flux(self, tag, nrm, gf_minus, q_minus,

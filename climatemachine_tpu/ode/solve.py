@@ -50,6 +50,19 @@ class SolveState:
         return self._pub[1]
 
 
+def to_internal(solver, q, aux):
+    """Convert public node-major state to the solver's integration layout
+    (identity unless the solver carries a var-major fast-RHS, solver.vm)."""
+    vm = getattr(solver, "vm", None)
+    return (q, aux) if vm is None else (vm.to_vm(q), vm.aux_to_vm(aux))
+
+
+def from_internal(solver, q, aux):
+    """Inverse of :func:`to_internal`."""
+    vm = getattr(solver, "vm", None)
+    return (q, aux) if vm is None else (vm.from_vm(q), vm.aux_from_vm(aux))
+
+
 def solve(q, aux, solver, timeend: float, t0: float = 0.0,
           callbacks: Sequence = (), numberofsteps: Optional[int] = None,
           adjustfinalstep: bool = True):

@@ -97,7 +97,8 @@ def test_bickley_jet_reference_refvals(name, flux, periodic, nover):
     rv = _load("bickley_jet.py")
     fields = _run_bickley(flux, periodic, nover)
     parr = {k: [min(float(d), 6.0) for d in v] for k, v in rv.parr.items()}
-    check_parr(fields, getattr(rv, name), parr)
+    check_parr(fields, getattr(rv, name), parr,
+        gate_id=f"cnse_bickley2d_{name}")
 
 
 def _run_buoyancy(elems, base_order, nsteps=100, dt=0.001):
@@ -158,7 +159,8 @@ def test_buoyancy_reference_refvals(name, elems, order):
     rv = _load("buoyancy_3d.py")
     fields = _run_buoyancy(elems, order)
     parr = {k: [min(float(d), 6.0) for d in v] for k, v in rv.parr.items()}
-    check_parr(fields, getattr(rv, name), parr)
+    check_parr(fields, getattr(rv, name), parr,
+        gate_id=f"cnse_buoyancy_{name}")
 
 
 def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
@@ -271,4 +273,5 @@ def test_bickley_jet_3d_reference_refvals(name, elems, order):
     fields = _run_bickley3d(elems, order, progress=True)
     parr = {k: [min(float(d), 4.0) for d in v]
             for k, v in getattr(rv, "parr_" + name).items()}
-    check_parr(fields, getattr(rv, name), parr)
+    check_parr(fields, getattr(rv, name), parr,
+        gate_id=f"cnse_bickley3d_{name}")

@@ -11,6 +11,8 @@ from climatemachine_tpu.atmos.linear import AtmosAcousticGravityLinearModel
 from climatemachine_tpu.dg.spatial import DGModel, init_ode_state, VERTICAL
 from climatemachine_tpu.driver.solver_types import IMEXSolverType
 from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+from climatemachine_tpu.ode.solve import (from_internal,
+                                           to_internal)
 from climatemachine_tpu.mesh.grid import min_node_distance
 from climatemachine_tpu.ode.lsrk import LSRK54CarpenterKennedy
 from climatemachine_tpu.solvers.columnwise import (BlockTridiagColumnSolver,
@@ -113,11 +115,12 @@ def test_imex_matches_explicit():
 
     imex = IMEXSolverType().make(dg, q0, aux0, 8 * dt_exp)
     stepi = jax.jit(imex.step)
-    q_im, aux = q0, aux0
+    q_im, aux = to_internal(imex, q0, aux0)
     t = 0.0
     for _ in range(nsteps_exp // 8):
         q_im, aux = stepi(q_im, aux, t)
         t += 8 * dt_exp
+    q_im, aux = from_internal(imex, q_im, aux)
 
     assert bool(jnp.all(jnp.isfinite(q_im)))
     # per-variable agreement relative to the dynamic range of the change
@@ -134,10 +137,12 @@ def test_imex_stable_at_large_dt():
     dt_exp = 0.3 * min_node_distance(cfg.grid) / 350.0
     imex = IMEXSolverType().make(dg, q0, aux0, 20 * dt_exp)
     stepi = jax.jit(imex.step)
-    q, aux, t = q0, aux0, 0.0
+    q, aux = to_internal(imex, q0, aux0)
+    t = 0.0
     for _ in range(10):
         q, aux = stepi(q, aux, t)
         t += imex.dt
+    q, aux = from_internal(imex, q, aux)
     assert bool(jnp.all(jnp.isfinite(q)))
     u = cfg.model.prog(q, "rhou") / cfg.model.prog(q, "rho")[..., None]
     assert float(jnp.max(jnp.abs(u))) < 100.0

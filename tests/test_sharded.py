@@ -230,10 +230,13 @@ def test_sharded_imex_step_matches_single_device():
     dt = 6 * 0.3 * float(min_node_distance(cfg.grid)) / 350.0
 
     imex0 = IMEXSolverType().make(dg, q, aux, dt)
-    qr, auxr, t = q, aux, 0.0
+    from climatemachine_tpu.ode.solve import from_internal, to_internal
+    qr, auxr = to_internal(imex0, q, aux)
+    t = 0.0
     for _ in range(3):
         qr, auxr = imex0.step(qr, auxr, t)
         t += dt
+    qr, auxr = from_internal(imex0, qr, auxr)
 
     mesh = make_mesh(jax.devices()[:8])
     sdg = ShardedDGModel(dg, mesh)

@@ -165,7 +165,7 @@ def test_simple_box_ivd_reference_refvals():
         if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
                     "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
             parr[k] = [0.0, 0.0, 0.0, 0.0]
-    check_parr(f, rv.varr, parr)
+    check_parr(f, rv.varr, parr, gate_id="ocean_simple_box_ivd")
 
 
 if __name__ == "__main__":
@@ -203,7 +203,7 @@ def test_simple_box_2dt_reference_refvals():
         if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
                     "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
             parr[k] = [0.0, 0.0, 0.0, 0.0]
-    check_parr(f, rv.varr, parr)
+    check_parr(f, rv.varr, parr, gate_id="ocean_simple_box_2dt")
 
 
 def test_simple_box_rk3_smoke():
@@ -236,7 +236,7 @@ def test_simple_box_rk3_reference_refvals():
         if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
                     "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
             parr[k] = [0.0, 0.0, 0.0, 0.0]
-    check_parr(f, rv.varr, parr)
+    check_parr(f, rv.varr, parr, gate_id="ocean_simple_box_rk3")
 
 
 class DoubleGyreBox(OceanGyre):
@@ -351,4 +351,4 @@ def test_simple_dbl_gyre_reference_refvals():
         if k[1] in ("w", "wz0", "Δη", "ΔGu[1]", "ΔGu[2]",
                     "Gᵁ[1]", "Gᵁ[2]", "Δu[1]", "Δu[2]"):
             parr[k] = [0.0, 0.0, 0.0, 0.0]
-    check_parr(f, rv.varr, parr)
+    check_parr(f, rv.varr, parr, gate_id="ocean_dbl_gyre")
