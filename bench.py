@@ -92,10 +92,17 @@ def main():
     q0, aux0 = init_ode_state(dg)
     npoints = cfg.grid.nelem * cfg.grid.Np
     flops = budget(n_horz, n_vert, poly)
+    # the reference's every-step exponential filter on perturbations
+    # (heldsuarez.jl:261-273) is part of the configuration — without it
+    # the run is not long-term stable; it runs INSIDE the measured step
+    from climatemachine_tpu.experiments.held_suarez import \
+        HeldSuarezStepFilter
+    hsf = HeldSuarezStepFilter(cfg.grid, cfg.model)
 
     # --- explicit LSRK54 at the every-direction acoustic limit ------------
     dt_ex = 0.3 * min_node_distance(cfg.grid) / 350.0
     ex = ExplicitSolverType().make(dg, q0, aux0, dt_ex)
+    ex.post_step = hsf.apply_vm if ex.vm is not None else hsf.apply
     qe, auxe = q0, aux0
     if ex.vm is not None:      # var-major fast path: convert once
         qe, auxe = ex.vm.to_vm(q0), ex.vm.aux_to_vm(aux0)
@@ -108,6 +115,7 @@ def main():
     # --- IMEX north star: dt from the HORIZONTAL acoustic CFL -------------
     dt_im = 0.1 * min_node_distance(cfg.grid, "horizontal") / 350.0
     imex = IMEXSolverType().make(dg, q0, aux0, dt_im)
+    imex.post_step = hsf.apply_vm if imex.vm is not None else hsf.apply
     qi, auxi = q0, aux0
     if imex.vm is not None:
         qi, auxi = imex.vm.to_vm(q0), imex.vm.aux_to_vm(aux0)

@@ -180,3 +180,42 @@ def held_suarez_config(n_horz: int = 8, n_vert: int = 4, poly_order: int = 5,
     model = AtmosModel(physics, problem,
                        sources=(Gravity(), Coriolis(), HeldSuarezForcing()))
     return HeldSuarezConfig(model=model, grid=grid)
+
+
+class HeldSuarezStepFilter:
+    """Every-step exponential filter on perturbations about the
+    reference state — part of the reference's Held-Suarez configuration
+    (heldsuarez.jl:261-273: ``ExponentialFilter(grid, 0, 20)`` applied
+    through ``AtmosFilterPerturbations`` by an every-step callback).
+    Without it the aliasing instability of the unfiltered DG advection
+    terminates coarse runs within ~1500 simulated seconds (measured) and
+    eventually any resolution.
+
+    ``apply(q, aux)`` is the node-major form; ``apply_vm(qv, auxv)``
+    rides the var-major fast path (one [Np, Np] nodal-operator matmul),
+    suitable as a ``solver.post_step`` hook inside the jitted step.
+    """
+
+    def __init__(self, grid, model, order: int = 20):
+        from climatemachine_tpu.mesh.filters import (
+            AtmosFilterPerturbations, ExponentialFilter)
+        self.grid = grid
+        self.model = model
+        self.filt = ExponentialFilter(grid, 0, order)
+        self.target = AtmosFilterPerturbations(model)
+        self.i_rho = model.prog_spec.index("rho").start
+        self.i_rhoe = model.prog_spec.index("rhoe").start
+        self.i_rho_ref = model.aux_spec.index("ref_state.rho").start
+        self.i_rhoe_ref = model.aux_spec.index("ref_state.rhoe").start
+
+    def apply(self, q, aux):
+        from climatemachine_tpu.mesh.filters import apply_filter
+        return apply_filter(self.grid, q, self.filt, target=self.target,
+                            aux=aux)
+
+    def apply_vm(self, qv, auxv):
+        import jax.numpy as jnp
+        ref = jnp.zeros_like(qv)
+        ref = ref.at[:, self.i_rho, :].set(auxv[:, self.i_rho_ref, :])
+        ref = ref.at[:, self.i_rhoe, :].set(auxv[:, self.i_rhoe_ref, :])
+        return self.filt.apply_vm(qv - ref) + ref

@@ -16,6 +16,8 @@ reference's horizontal/vertical split.
 from __future__ import annotations
 
 import math
+
+import jax
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -102,6 +104,34 @@ class SpectralFilter:
             out = jnp.tensordot(xb, Fd, axes=((axis,), (1,)))
             xb = jnp.moveaxis(out, -1, axis)
         return _to_flat(g, xb)
+
+    def nodal_matrix(self, direction: str = EVERY):
+        """The composed [Np, Np] nodal filter operator F (out = F q per
+        element per variable) — the whole per-dimension contraction
+        chain collapsed into ONE matmul operand, for the var-major fast
+        paths.  Built eagerly in numpy (never inside a trace) and
+        cached."""
+        cache = getattr(self, "_nodal_cache", None)
+        if cache is None:
+            cache = self._nodal_cache = {}
+        if direction not in cache:
+            g = self.grid
+            xb = np.eye(g.Np).reshape(tuple(g.Nq[::-1]) + (g.Np,))
+            for d in direction_dims(direction, g.dim):
+                Fd = np.asarray(self.matrices[d], dtype=np.float64)
+                axis = g.dim - 1 - d
+                out = np.tensordot(xb, Fd, axes=((axis,), (1,)))
+                xb = np.moveaxis(out, -1, axis)
+            cache[direction] = xb.reshape(g.Np, g.Np)
+        return cache[direction]
+
+    def apply_vm(self, qv, direction: str = EVERY):
+        """Var-major apply: qv [E, n, Np] -> filtered, one MXU matmul."""
+        E, n, Np = qv.shape
+        F = jnp.asarray(self.nodal_matrix(direction), dtype=qv.dtype)
+        out = jnp.matmul(qv.reshape(E * n, Np), F.T,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(E, n, Np)
 
 
 class ExponentialFilter(SpectralFilter):

@@ -137,6 +137,9 @@ class AdditiveRungeKutta:
         for i in range(self.nstages):
             if self.B[i]:
                 out = out + (dt * self.B[i]) * (Fs[i] + Gs[i])
+        post = getattr(self, "post_step", None)
+        if post is not None:
+            out = post(out, aux)
         return out, aux
 
     def _step_blocks(self, q, aux, t, dt, factors, op_args):
@@ -204,6 +207,9 @@ class AdditiveRungeKutta:
                     Gacc = g if Gacc is None else Gacc + g
         if Gacc is not None:
             out = out + lay.from_blocks(Gacc)
+        post = getattr(self, "post_step", None)
+        if post is not None:
+            out = post(out, aux)
         return out, aux
 
 

@@ -52,6 +52,11 @@ class LowStorageRungeKutta2N:
             tend, aux = self.rhs(q, aux, ts)
             dq = tend if dq is None else self.A[s] * dq + tend
             q = q + (self.B[s] * dt) * dq
+        # per-step state projection (e.g. the Held-Suarez every-step
+        # exponential filter) fused into the same compiled step
+        post = getattr(self, "post_step", None)
+        if post is not None:
+            q = post(q, aux)
         return q, aux
 
 

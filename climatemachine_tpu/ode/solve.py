@@ -28,26 +28,41 @@ class SolveState:
     access, so interval-gated callbacks that fire rarely never pay the
     transpose on quiet steps."""
 
-    def __init__(self, q, aux, t, step, convert=None):
+    def __init__(self, q, aux, t, step, vm=None):
+        self._vm = vm
         self._qi, self._auxi, self.t, self.step = q, aux, t, step
-        self._convert = convert
-        self._pub = None if convert is not None else (q, aux)
+        self._pub = None if vm is not None else (q, aux)
 
     def set_internal(self, q, aux, t, step):
         self._qi, self._auxi, self.t, self.step = q, aux, t, step
-        self._pub = None if self._convert is not None else (q, aux)
+        self._pub = None if self._vm is not None else (q, aux)
+
+    def _to_pub(self):
+        if self._pub is None:
+            self._pub = (self._vm.from_vm(self._qi),
+                         self._vm.aux_from_vm(self._auxi))
+        return self._pub
 
     @property
     def q(self):
-        if self._pub is None:
-            self._pub = self._convert(self._qi, self._auxi)
-        return self._pub[0]
+        return self._to_pub()[0]
+
+    @q.setter
+    def q(self, value):
+        # callbacks write in the public layout (e.g. TMAR positivity
+        # projection); mirror the write into the integration layout
+        self._pub = (value, self._to_pub()[1])
+        self._qi = self._vm.to_vm(value) if self._vm is not None else value
 
     @property
     def aux(self):
-        if self._pub is None:
-            self._pub = self._convert(self._qi, self._auxi)
-        return self._pub[1]
+        return self._to_pub()[1]
+
+    @aux.setter
+    def aux(self, value):
+        self._pub = (self._to_pub()[0], value)
+        self._auxi = (self._vm.aux_to_vm(value) if self._vm is not None
+                      else value)
 
 
 def to_internal(solver, q, aux):
@@ -91,12 +106,10 @@ def solve(q, aux, solver, timeend: float, t0: float = 0.0,
     jit_step = _make_jit_step()
 
     vm = getattr(solver, "vm", None)
-    convert = None
     if vm is not None:
         q, aux = vm.to_vm(q), vm.aux_to_vm(aux)
-        convert = lambda qi, ai: (vm.from_vm(qi), vm.aux_from_vm(ai))
 
-    state = SolveState(q, aux, t0, 0, convert=convert)
+    state = SolveState(q, aux, t0, 0, vm=vm)
     for cb in callbacks:
         if hasattr(cb, "init"):
             cb.init(state)

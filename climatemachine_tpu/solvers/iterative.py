@@ -71,14 +71,55 @@ def gmres(op: Callable, b, x0=None, n_krylov: int = 20, restarts: int = 1,
 
 def batched_gmres(op: Callable, b, n_krylov: int = 20, restarts: int = 1,
                   precond: Optional[Callable] = None):
-    """Batched GMRES: op acts independently on each row of b [B, n]
-    (reference BatchedGeneralizedMinimalResidual, :37-:535) — vmap of the
-    single-system solver."""
-    single = lambda bi: gmres(lambda v: op(v[None])[0], bi,
-                              n_krylov=n_krylov, restarts=restarts,
-                              precond=precond)
-    xs, res = jax.vmap(single)(b)
-    return xs, res
+    """Batched GMRES: op maps [B, n] -> [B, n] applying each system to
+    its own row (reference BatchedGeneralizedMinimalResidual,
+    :37-:535).  The Arnoldi process carries the batch axis natively —
+    one fused device iteration advances every system, exactly the
+    reference's batched kernels (:500 batched_initialize!, :535
+    batched_arnoldi_process!).  (A vmap around a closure would silently
+    broadcast per-batch operator coefficients across the batch — op
+    must see the FULL batch.)
+
+    Returns (x [B, n], residual_norm [B])."""
+    B, n = b.shape
+    M = precond or (lambda v: v)
+
+    def A(V):                      # [B, n] -> [B, n]
+        return op(M(V))
+
+    x = jnp.zeros_like(b)
+
+    def cycle(x):
+        r = b - A(x)
+        beta = jnp.linalg.norm(r, axis=1)                  # [B]
+        safe = jnp.where(beta == 0, 1.0, beta)
+        V = jnp.zeros((n_krylov + 1, B, n), dtype=b.dtype)
+        V = V.at[0].set(r / safe[:, None])
+        H = jnp.zeros((B, n_krylov + 1, n_krylov), dtype=b.dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = A(V[j])                                    # [B, n]
+            h = jnp.einsum("kbn,bn->bk", V, w)             # [B, k+1]
+            mask = (jnp.arange(n_krylov + 1) <= j)
+            h = jnp.where(mask[None, :], h, 0.0)
+            w = w - jnp.einsum("bk,kbn->bn", h, V)
+            hn = jnp.linalg.norm(w, axis=1)                # [B]
+            safe_hn = jnp.where(hn == 0, 1.0, hn)
+            V = V.at[j + 1].set(w / safe_hn[:, None])
+            H = H.at[:, :, j].set(h.at[:, j + 1].set(hn)[:, :n_krylov + 1])
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, n_krylov, arnoldi, (V, H))
+        # per-batch least squares min ||beta e1 - H y||
+        e1 = jnp.zeros((B, n_krylov + 1), dtype=b.dtype).at[:, 0].set(beta)
+        y = jax.vmap(lambda Hi, gi: jnp.linalg.lstsq(Hi, gi)[0])(H, e1)
+        return x + jnp.einsum("bk,kbn->bn", y, V[:n_krylov])
+
+    for _ in range(restarts):
+        x = cycle(x)
+    x = M(x)
+    return x, jnp.linalg.norm(op(x) - b, axis=1)
 
 
 def conjugate_gradient(op: Callable, b, x0=None, n_iter: int = 50):

@@ -30,8 +30,12 @@ def main():
     p.add_argument("--nel", type=int, nargs=3, default=(12, 1, 6))
     p.add_argument("--poly", type=int, default=4)
     p.add_argument("--timeend", type=float, default=200.0)
-    p.add_argument("--hm", type=float, default=400.0,
-                   help="mountain height [m]")
+    p.add_argument("--hm", type=float, default=None,
+                   help="mountain height [m] (default per variant)")
+    p.add_argument("--variant", choices=["hs", "nh"], default="hs",
+                   help="hs: hydrostatic linear ridge a=8 km, U=20 "
+                   "(agnesi_hs_lin.jl); nh: nonhydrostatic a=1 km, "
+                   "U=10, 144 km domain (agnesi_nh_lin.jl)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -40,9 +44,16 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     ps = cm.EARTH
-    Lx, Ly, H = 120e3, 5e3, 24e3
-    a, U, T0 = 8e3, 20.0, 250.0
-    hm = args.hm
+    if args.variant == "hs":
+        Lx, Ly, H = 120e3, 5e3, 24e3
+        a, U, T0 = 8e3, 20.0, 250.0
+        hm = 400.0 if args.hm is None else args.hm
+    else:
+        # nonhydrostatic: narrow ridge (a << U/N ~ 1 km scale waves)
+        # reference agnesi_nh_lin.jl:9,46: a = 1 km, 144 km x 30 km
+        Lx, Ly, H = 144e3, 2e3, 30e3
+        a, U, T0 = 1e3, 10.0, 280.0
+        hm = 1.0 if args.hm is None else args.hm
 
     def warp(x, y, z):
         h = hm / (1.0 + ((x - Lx / 2) / a) ** 2)

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--timeend", type=float, default=3600.0)
     p.add_argument("--dry", action="store_true")
     p.add_argument("--cfl", type=float, default=0.3)
+    p.add_argument("--bulk-sfcflux", action="store_true",
+                   help="TJ16 varying-SST bulk surface fluxes (reference "
+                   "moist_baroclinic_wave_bulksfcflux.jl)")
     p.add_argument("--diagnostics-every", type=int, default=0,
                    help="write the AtmosGCMDefault NetCDF group (full "
                    "reference variable set on lat-lon-level) every N steps")
@@ -50,6 +53,43 @@ def main():
                                  moist=not args.dry,
                                  dtype=np.float64 if args.platform == "cpu"
                                  else np.float32)
+    if args.bulk_sfcflux:
+        # Thatcher & Jablonowski (2016) varying-SST bulk surface fluxes
+        # (reference moist_baroclinic_wave_bulksfcflux.jl:174-266:
+        # Varying_SST_TJ16 + BulkFormulaEnergy/Moisture, C_drag 0.0044)
+        assert not args.dry, "--bulk-sfcflux needs the moist wave"
+        ps = cfg.model.param_set
+        C_drag = 0.0044
+
+        def T_sfc(m, q, aux, t):
+            from climatemachine_tpu.common.orientations import latitude
+            phi = latitude(m.aux_get(aux, "coord"))
+            dphi = 26.0 * np.pi / 180.0
+            return 29.0 * jnp.exp(-phi ** 2 / (2 * dphi ** 2)) + 271.0
+
+        def q_sfc(m, q, aux, t):
+            from climatemachine_tpu.physics import thermodynamics as td
+            rho = m.prog(q, "rho")
+            ru = m.prog(q, "rhou")
+            Phi = m.aux_get(aux, "orientation.Phi")
+            e_int = (m.prog(q, "rhoe")
+                     - 0.5 * jnp.sum(ru * ru, axis=-1) / rho) / rho - Phi
+            qt = m.prog(q, "moisture.rhoq_tot") / rho
+            T = td.air_temperature(ps, e_int)
+            p = td.air_pressure(ps, T, rho)
+            Ts = T_sfc(m, q, aux, t)
+            return (0.622 / p * ps.press_triple
+                    * jnp.exp(-ps.LH_v0 / ps.R_v
+                              * (1.0 / Ts - 1.0 / ps.T_triple)))
+
+        bc_sfc = cm.AtmosBC(
+            energy=cm.BulkFormulaEnergy(C_h=C_drag, T_sfc=T_sfc),
+            moisture=cm.BulkFormulaMoisture(C_q=C_drag, q_tot_sfc=q_sfc))
+        from climatemachine_tpu.atmos.model import AtmosProblem
+        problem = AtmosProblem(init_state=cfg.model.problem.init_state,
+                               boundary_conditions=(bc_sfc, cm.AtmosBC()))
+        cfg.model = cm.AtmosModel(cfg.model.physics, problem,
+                                  sources=cfg.model.sources)
     dg = cm.DGModel(cfg.model, cfg.grid)
     q, aux = init_ode_state(dg)
     dt = args.cfl * float(min_node_distance(cfg.grid)) / 350.0

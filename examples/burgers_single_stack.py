@@ -184,6 +184,14 @@ class BurgersEquation(BalanceLaw):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nelem", type=int, default=10)
+    p.add_argument("--variant", choices=["plain", "bjfnk", "fvm"],
+                   default="plain",
+                   help="plain: explicit LSRK (burgers_single_stack.jl); "
+                   "bjfnk: vertical dynamics implicit via JFNK at the "
+                   "ADVECTIVE dt, not the diffusive one "
+                   "(burgers_single_stack_bjfnk.jl HEVISolverType); "
+                   "fvm: vertical finite-volume N=(poly,0) with FVLinear "
+                   "reconstruction (burgers_single_stack_fvm.jl)")
     p.add_argument("--poly", type=int, default=4)
     p.add_argument("--timeend", type=float, default=1.0)
     p.add_argument("--platform", default=None)
@@ -194,22 +202,43 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     bl = BurgersEquation()
+    dtype = np.float64 if args.platform == "cpu" else np.float32
     topo = single_stack_topology(1.0, 1.0,
                                  np.linspace(0, bl.zmax, args.nelem + 1))
-    grid = make_grid(topo, args.poly, dtype=np.float64
-                     if args.platform == "cpu" else np.float32)
-    dg = DGModel(bl, grid,
-                 numerical_flux_first_order=CentralNumericalFluxFirstOrder())
+    if args.variant == "fvm":
+        # vertical finite volume: N = (poly, 0) + FVLinear reconstruction
+        # (reference burgers_single_stack_fvm.jl:468-485)
+        from climatemachine_tpu.dg.fv import (DGFVModel, FVLinear,
+                                              HBFVReconstruction)
+        grid = make_grid(topo, (args.poly, args.poly, 0), dtype=dtype)
+        dg = DGFVModel(bl, grid,
+                       reconstruction=HBFVReconstruction(bl, FVLinear()),
+                       numerical_flux_first_order=
+                       CentralNumericalFluxFirstOrder())
+    else:
+        grid = make_grid(topo, args.poly, dtype=dtype)
+        dg = DGModel(bl, grid, numerical_flux_first_order=
+                     CentralNumericalFluxFirstOrder())
     q, aux = init_ode_state(dg)
     # Fourier + Courant bounds (reference :470-477)
     delta = float(min_node_distance(grid))
-    dt = min(0.5 * delta ** 2 / max(bl.alpha_h, bl.mu_h, bl.nu_d),
-             0.5 * delta)
+    dt_fourier = 0.5 * delta ** 2 / max(bl.alpha_h, bl.mu_h, bl.nu_d)
+    if args.variant == "bjfnk":
+        # vertical dynamics (incl. its diffusive limit) implicit: only
+        # the Courant bound applies (reference
+        # burgers_single_stack_bjfnk.jl HEVISolverType + ARK2GKC)
+        from climatemachine_tpu.driver.solver_types import HEVISolverType
+        dt = 0.5 * delta
+        hevi = HEVISolverType()
+        solver = hevi.make(dg, q, aux, dt)
+        step = solver.step
+    else:
+        dt = min(dt_fourier, 0.5 * delta)
+        solver = LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t), dt)
+        step = jax.jit(solver.step)
     nsteps = max(int(args.timeend / dt), 1)
-    print(f"dt = {dt:.2e} s, elements = {grid.nelem}, steps = {nsteps}")
-
-    step = jax.jit(LSRK54CarpenterKennedy(lambda a, b, t: dg(a, b, t),
-                                          dt).step)
+    print(f"variant = {args.variant}, dt = {dt:.2e} s, "
+          f"elements = {grid.nelem}, steps = {nsteps}")
     s = bl.prog_spec
     u0 = s.get(q, "rhou")[..., 0] / s.get(q, "rho")
     # noise = deviation from the horizontal mean at each node level

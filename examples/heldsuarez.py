@@ -38,6 +38,14 @@ def main():
     sc = cm.make_solver_configuration(
         0.0, args.timeend, dc, ode_solver_type=solver_type,
         Courant_number=0.3)
+    # the reference's every-step exponential filter on perturbations
+    # (heldsuarez.jl:261-273) — required for long-run stability; fused
+    # into the compiled step via the post_step hook
+    from climatemachine_tpu.experiments.held_suarez import \
+        HeldSuarezStepFilter
+    hsf = HeldSuarezStepFilter(cfg.grid, cfg.model)
+    sc.solver.post_step = hsf.apply_vm if getattr(sc.solver, "vm", None) is not None \
+        else hsf.apply
     print(f"dt = {sc.dt:.2f} s, elements = {cfg.grid.nelem}, "
           f"solver = {'IMEX' if args.imex else 'explicit LSRK'}")
     ratio = cm.invoke(sc)

@@ -105,6 +105,35 @@ def main():
                      "efficiency": round(per_chip / base, 3)})
         print(json.dumps(rows[-1]), flush=True)
 
+    # communication accounting (VERDICT r3 #5): per-step halo bytes from
+    # the compiled HLO of the largest sharded config, with the
+    # face-rows-only policy asserted (no all-gather, no volume-sized
+    # permute payloads)
+    nd = max(d for d in ndevs if not (6 * nh0 * nh0) % d)
+    if nd > 1:
+        from climatemachine_tpu.parallel.comm_audit import \
+            audit_halo_exchange
+        cfg = held_suarez_config(n_horz=nh0, n_vert=nv0, poly_order=args.poly,
+                                 dtype=np.float32)
+        dg = DGModel(cfg.model, cfg.grid)
+        q, aux = init_ode_state(dg)
+        mesh = make_mesh(jax.devices()[:nd])
+        sdg = ShardedDGModel(dg, mesh, halo="ppermute")
+        qs, auxs = sdg.shard(q), sdg.shard(aux)
+        stats = audit_halo_exchange(sdg, lambda a, b: sdg(a, b, 0.0),
+                                    qs, auxs)
+        audit = {
+            "ndev": nd,
+            "rhs_permute_bytes_per_device": stats[
+                "total_permute_bytes_per_call_per_device"],
+            "n_permutes_per_rhs": stats["n_permutes"],
+            "max_face_export_bytes": stats["max_face_export_bytes"],
+            "local_state_bytes": int(np.asarray(qs).nbytes // nd),
+            "policy": "no all-gather/all-to-all; every permute <= 2x "
+                      "largest legitimate face export (asserted)",
+        }
+        print(json.dumps({"comm_audit": audit}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -118,3 +118,22 @@ def test_gcr_matches_direct_solve():
         lambda v: jnp.asarray(A) @ v, jnp.asarray(b), n_krylov=40)
     assert float(r) < 1e-10
     assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-9)
+
+
+def test_batched_gmres_batch_dependent_operator():
+    """Regression: op carries PER-BATCH coefficients — each system must
+    be solved with its own matrix (a vmap-of-closure implementation
+    silently broadcast batch-0's operator to every row)."""
+    rng = np.random.RandomState(7)
+    B, n = 8, 10
+    As = np.stack([np.eye(n) + 0.15 * rng.randn(n, n) for _ in range(B)])
+    bs = rng.randn(B, n)
+    Asj = jnp.asarray(As)
+
+    def op(xb):                       # [B, n] -> [B, n], full batch
+        return jnp.einsum("bij,bj->bi", Asj, xb)
+
+    xs, res = batched_gmres(op, jnp.asarray(bs), n_krylov=n, restarts=2)
+    assert float(jnp.max(res)) < 1e-8, np.asarray(res)
+    expected = np.stack([np.linalg.solve(As[i], bs[i]) for i in range(B)])
+    assert np.allclose(np.asarray(xs), expected, atol=1e-6)

@@ -301,3 +301,36 @@ def test_sharded_second_order_flux_matches_single_device():
     err = float(jnp.max(jnp.abs(jnp.asarray(tend_s) - tend_ref)))
     scale = float(jnp.max(jnp.abs(tend_ref)))
     assert err < 1e-11 * scale, (err, scale)
+
+
+def test_comm_audit_halo_is_face_rows_only():
+    """Compiled-HLO communication accounting (reference analog: the
+    explicit per-neighbor send/recv maps of MPIStateArrays.jl:411-514
+    make halo traffic enumerable).  The ppermute-halo step must compile
+    to per-offset collective-permutes of face exports only: no
+    all-gather / all-to-all, no volume-sized permute payloads."""
+    from climatemachine_tpu.parallel.comm_audit import (audit_halo_exchange,
+                                                        collective_stats)
+
+    assert len(jax.devices()) >= 8
+    cfg = _hs_small()
+    dg = DGModel(cfg.model, cfg.grid, surface_kernel="varmajor")
+    q, aux = init_ode_state(dg)
+    mesh = make_mesh(jax.devices()[:8])
+    sdg = ShardedDGModel(dg, mesh, halo="ppermute")
+    qs, auxs = sdg.shard(q), sdg.shard(aux)
+
+    stats = audit_halo_exchange(sdg, lambda a, b: sdg(a, b, 0.0), qs, auxs)
+    assert stats["n_permutes"] > 0, "no collectives found — not sharded?"
+    assert stats["total_permute_bytes_per_call_per_device"] > 0
+
+    # the audit must actually FAIL on a widened halo: the allgather rig
+    # moves the full send set to every device
+    sdg_ag = ShardedDGModel(dg, mesh, halo="allgather")
+    qs2, auxs2 = sdg_ag.shard(q), sdg_ag.shard(aux)
+    ag = collective_stats(lambda a, b: sdg_ag(a, b, 0.0), qs2, auxs2)
+    assert any(ag["all-gather"]), "allgather rig should show all-gathers"
+    import pytest as _pt
+    with _pt.raises(AssertionError):
+        audit_halo_exchange(sdg_ag, lambda a, b: sdg_ag(a, b, 0.0),
+                            qs2, auxs2)
