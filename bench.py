@@ -60,6 +60,52 @@ def _measure(step, q, aux, dt, nwarm, nsteps, k=3):
     return best, qb, auxb
 
 
+def _precision_gate(cfg, imex, q_im, dt_im, on_cpu):
+    """Correctness gate attached to the perf number (BASELINE.md): the
+    f32 bench final state's per-field statistics must match the stored
+    f64 CPU replay of the SAME trajectory (tests/refvals/
+    bench_heldsuarez_p4.py, scripts/gen_bench_refstats.py) within the
+    per-statistic budgets calibrated in tests/test_precision_gate.py.
+    Every batch restarts from the post-warm state, so the best batch's
+    final state equals warm+nsteps steps from init — deterministic."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "refvals", "bench_heldsuarez_p4.py")
+    if on_cpu or not os.path.exists(path):
+        return {"checked": False,
+                "reason": "cpu smoke" if on_cpu else "no f64 table"}
+    spec = importlib.util.spec_from_file_location("bench_refstats", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if abs(mod.dt - dt_im) > 1e-9 * dt_im:
+        return {"checked": False, "reason": f"dt mismatch {mod.dt}"}
+    from climatemachine_tpu.ode.solve import from_internal
+    qg, _ = from_internal(imex, q_im, q_im)
+    qn = np.asarray(qg, dtype=np.float64)
+    budgets = {"rho": (1e-4, 1e-4, 1e-5, 1e-4),
+               "rhou": (3e-2, 3e-2, 1e-5, 1e-3),
+               "rhoe": (1e-4, 1e-4, 2e-5, 1e-4)}
+    worst, failures = 0.0, []
+    names = list(cfg.model.prog_spec.flattened_names())
+    for i, name in enumerate(names):
+        base = name.split("[")[0].split(".")[-1]
+        budget = budgets.get(base, budgets.get(name))
+        if budget is None:
+            continue
+        ref = mod.stats[name]
+        a = qn[..., i]
+        got = [a.min(), a.max(), a.mean(), a.std(ddof=1)]
+        scale = max(abs(ref[0]), abs(ref[1]), 1e-300)
+        for stat, g, r, b in zip(("min", "max", "mean", "std"),
+                                 got, ref, budget):
+            rel = abs(g - r) / scale
+            worst = max(worst, rel / b)
+            if rel > b:
+                failures.append((name, stat, rel, b))
+    assert not failures, f"bench precision gate FAILED: {failures}"
+    return {"checked": True, "worst_fraction_of_budget": round(worst, 3)}
+
+
 def main():
     import jax
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -124,6 +170,7 @@ def main():
                                 nsteps_im, k=nbatch)
     assert bool(jnp.all(jnp.isfinite(q_im))), "IMEX bench non-finite"
     gps_im = npoints * nsteps_im / wall_im
+    precision_gate = _precision_gate(cfg, imex, q_im, dt_im, on_cpu)
 
     # simulated-seconds per wall-second: the end-to-end win of IMEX
     rate_ex = dt_ex / (wall_ex / nsteps_ex)
@@ -170,6 +217,9 @@ def main():
             "imex_time_compression_vs_explicit": round(rate_im / rate_ex, 2),
             "platform": jax.devices()[0].platform,
             "dtype": "float32",
+            "precision_gate": precision_gate,
+            "step_filter": "ExponentialFilter(0,20) on perturbations "
+                           "every step (reference heldsuarez.jl:261)",
         },
     }))
 

@@ -208,11 +208,9 @@ def main():
     if args.variant == "fvm":
         # vertical finite volume: N = (poly, 0) + FVLinear reconstruction
         # (reference burgers_single_stack_fvm.jl:468-485)
-        from climatemachine_tpu.dg.fv import (DGFVModel, FVLinear,
-                                              HBFVReconstruction)
+        from climatemachine_tpu.dg.fv import DGFVModel, FVLinear
         grid = make_grid(topo, (args.poly, args.poly, 0), dtype=dtype)
-        dg = DGFVModel(bl, grid,
-                       reconstruction=HBFVReconstruction(bl, FVLinear()),
+        dg = DGFVModel(bl, grid, reconstruction=FVLinear(),
                        numerical_flux_first_order=
                        CentralNumericalFluxFirstOrder())
     else:

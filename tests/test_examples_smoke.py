@@ -105,6 +105,35 @@ CASES = [
     ("examples/baroclinic_wave_fvm.py",
      ["--n-horz", "2", "--n-vert", "4", "--poly", "3", "--timeend", "30",
       "--platform", "cpu"]),
+    # --- round 4 pedagogical tail (VERDICT r3 #10) --------------------
+    ("examples/box1d.py",
+     ["--case", "step", "--filter", "tmar", "--periods", "0.1",
+      "--nel", "16", "--platform", "cpu"]),
+    ("examples/showcase_filters.py", ["--platform", "cpu"]),
+    ("examples/heat_equation.py",
+     ["--timeend", "3600", "--nel", "20", "--dt", "120",
+      "--platform", "cpu"]),
+    ("examples/hydraulic_functions.py", []),
+    ("examples/solvers_demo.py", ["--platform", "cpu"]),
+    ("examples/rising_bubble_bryan.py",
+     ["--timeend", "20", "--resolution", "500", "--platform", "cpu"]),
+    ("examples/bomex_single_stack.py",
+     ["--timeend", "3", "--nelem-vert", "6", "--zmax", "1200",
+      "--platform", "cpu"]),
+    ("examples/timestepping_compare.py",
+     ["--timeend", "6", "--resolution", "250", "--platform", "cpu"]),
+    ("examples/baroclinic_wave.py",
+     ["--bulk-sfcflux", "--n-horz", "2", "--n-vert", "2", "--poly", "3",
+      "--timeend", "30", "--platform", "cpu"]),
+    ("examples/agnesi_mountain.py",
+     ["--variant", "nh", "--nel", "4", "1", "3", "--poly", "3",
+      "--timeend", "5", "--platform", "cpu"]),
+    ("examples/burgers_single_stack.py",
+     ["--variant", "bjfnk", "--nelem", "5", "--poly", "3",
+      "--timeend", "0.05", "--platform", "cpu"]),
+    ("examples/burgers_single_stack.py",
+     ["--variant", "fvm", "--nelem", "8", "--poly", "3",
+      "--timeend", "0.05", "--platform", "cpu"]),
 ]
 
 
@@ -115,7 +144,8 @@ def test_example_runs(script, args):
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     # every example reports some state summary when it ran to the end
-    tokens = ("finite: True", "max", "t =", "T =", "norm(")
+    tokens = ("finite: True", "max", "t =", "T =", "norm(", "relres",
+              "wrote")
     assert any(tok in r.stdout for tok in tokens), r.stdout[-500:]
 
 

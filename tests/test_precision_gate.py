@@ -62,14 +62,20 @@ def test_f32_tracks_f64_heldsuarez_imex():
     cfg, q64 = _run(np.float64, nsteps)
     _, q32 = _run(np.float32, nsteps)
 
-    # per-field relative drift budgets: measured envelope at 200 steps
-    # (rho 2.6e-7, rhou 1.3e-5 of dynamic range, rhoe 2.7e-7) x ~3
-    # margin; rhou is gated on the velocity dynamic range because its
-    # means sit near zero (catastrophic-cancellation stats are exactly
-    # what StateCheck's per-field tolerances exist for)
-    budgets = {"rho": 1e-6, "rhou": 5e-5, "rhoe": 1e-6}
+    # per-STATISTIC relative drift budgets (min, max, mean, std),
+    # normalized by the field's max magnitude — the reference's
+    # per-field StateCheck parr concept.  Measured 200-step envelope:
+    # means hold 1e-7..4e-6 (systematic bias would show here), rho/rhoe
+    # extremes ~3e-5, momentum EXTREMES ~9e-3 — Held-Suarez is
+    # baroclinically unstable, so f32 rounding grows at the instability
+    # rate in the pointwise extremes while the statistics stay tight.
+    # Budgets are the envelope x ~3.
+    budgets = {"rho": (1e-4, 1e-4, 1e-5, 1e-4),
+               "rhou": (3e-2, 3e-2, 1e-5, 1e-3),
+               "rhoe": (1e-4, 1e-4, 2e-5, 1e-4)}
     if slow:
-        budgets = {k: 3.0 * v for k, v in budgets.items()}
+        budgets = {k: tuple(3.0 * b for b in v)
+                   for k, v in budgets.items()}
 
     spec = cfg.model.prog_spec
     failures = []
@@ -81,6 +87,8 @@ def test_f32_tracks_f64_heldsuarez_imex():
             scale = max(float(np.max(np.abs(a64))), 1e-300)
             s64, s32 = _stats(a64), _stats(a32)
             rel = np.abs(s32 - s64) / scale
-            if float(rel.max()) > budget:
-                failures.append((name, comp, rel.tolist(), budget))
+            for stat, r, b in zip(("min", "max", "mean", "std"),
+                                  rel, budget):
+                if float(r) > b:
+                    failures.append((name, comp, stat, float(r), b))
     assert not failures, failures
