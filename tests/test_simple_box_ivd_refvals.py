@@ -263,7 +263,11 @@ def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False):
 
     problem = DoubleGyreBox(Lx, Ly, H, tau_o=1e-1, lam_r=20.0 / 86400.0,
                             theta_E=25.0)
-    m3 = CoupledHBModel(problem, c_h=1.0, num_impl_steps=5,
+    # reference simple_dbl_gyre.jl:182-187 overrides the OceanModel
+    # defaults: nu_h 15e3, kappa_c 1.0, f_o 3.8e-5, beta 1.7e-11
+    m3 = CoupledHBModel(problem, c_h=1.0, nu_h=15e3, nu_z=5e-3,
+                        kappa_h=1e3, kappa_z=1e-4, kappa_c=1.0,
+                        f_o=3.8e-5, beta=1.7e-11, num_impl_steps=5,
                         ivdc_dt=dt_slow / 5.0, add_fast_substeps=3)
     m2 = BarotropicModel(problem, turbulence=ConstantViscosity(m3.nu_h),
                          advection=None, c=1.0)
