@@ -143,9 +143,20 @@ class VarMajorRHS:
     with qv [E, nq, Np] and auxv [E, naux, Np]."""
 
     def __init__(self, dg, interpret: Optional[bool] = None,
-                 block_e: int = 32):
+                 block_e: int = 32, chain_kernel: str = "auto"):
         assert supports(dg), "unsupported configuration for VarMajorRHS"
         from climatemachine_tpu.atmos.moisture import EquilMoist
+        # "pallas": the fused 4-kernel chain (dg/pallas_ldg.chain_vm)
+        # instead of the per-pass XLA chain.  Hardware A/B at bench
+        # scale (scripts/tpu_chain_ab_vm.py, both orders, 2 repeats):
+        # RHS 20.3 -> 15.3 ms, LSRK54 step 106 -> 90 ms under identical
+        # load — the fused chain WINS inside the var-major step (the
+        # round-3 loss was against the generic node-major composition).
+        # "auto" = pallas on TPU, per-pass XLA elsewhere/under halos.
+        if chain_kernel == "auto":
+            chain_kernel = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+        self.chain_kernel = chain_kernel
         self.dg = dg
         self.bl = dg.balance_law
         self.grid = dg.grid
@@ -267,11 +278,16 @@ class VarMajorRHS:
 
         faces, dims = self.chain_faces, self.chain_dims
         halo = dg.row_halo.get(faces)
-        tab = _lvm._tables(dg, faces, ngl)
-        geom = _lvm._geom(dg, faces, dims)
-        grad = _lvm.grad_vm(dg, glv, tab, geom, dims, halo)
-        lap = _lvm.div_vm(dg, grad, tab, geom, dims, halo)
-        gl2 = _lvm.grad_vm(dg, lap, tab, geom, dims, halo)  # [E,3,ngl,Np]
+        if self.chain_kernel == "pallas" and halo is None:
+            from climatemachine_tpu.dg import pallas_ldg as _pldg
+            gl2 = _pldg.chain_vm(dg, glv, dims, faces,
+                                 interpret=self.interpret)
+        else:
+            tab = _lvm._tables(dg, faces, ngl)
+            geom = _lvm._geom(dg, faces, dims)
+            grad = _lvm.grad_vm(dg, glv, tab, geom, dims, halo)
+            lap = _lvm.div_vm(dg, grad, tab, geom, dims, halo)
+            gl2 = _lvm.grad_vm(dg, lap, tab, geom, dims, halo)  # [E,3,ngl,Np]
 
         delta = self._aux(auxv, "hyperdiffusion.delta")
         nu4 = (delta / 2) ** 4 / (2 * self.hd.tau_timescale)

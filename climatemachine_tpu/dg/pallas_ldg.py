@@ -157,6 +157,22 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
     tab = _lvm._tables(dg, faces, n)
     if tab is None:
         return None
+    grad_lap = chain_vm(dg, gl.transpose(0, 2, 1), dims, faces,
+                        interpret=interpret, block_e=block_e)
+    out = grad_lap.transpose(0, 3, 1, 2)                 # [E, Np, 3, n]
+    return bl.transform_post_gradient_laplacian(out, q, aux, t)
+
+
+def chain_vm(dg, xv, dims, faces, interpret: bool = False,
+             block_e: int = 16):
+    """Var-major fused chain core: xv [E, n, Np] -> grad-of-laplacian
+    [E, 3, n, Np] (the whole grad -> div -> grad with per-pass volume,
+    lift and extraction fused in VMEM; only the three face-row
+    exchanges stay in XLA)."""
+    from climatemachine_tpu.dg import ldg_varmajor as _lvm
+    g = dg.grid
+    n = xv.shape[1]
+    tab = _lvm._tables(dg, faces, n)
     E, Np, Nfp = g.nelem, g.Np, g.Nfp_max
     nfa, F = tab["nfa"], tab["F"]
     nd = len(dims)
@@ -164,7 +180,7 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
     while E % be != 0:
         be //= 2
     grid_spec = (E // be,)
-    dt = gl.dtype
+    dt = xv.dtype
 
     # geometry (constant-folded when the grid is concrete)
     sMf, nrm, xi4, _ = _lvm._geom(dg, faces, dims)       # see ldg_varmajor
@@ -177,8 +193,6 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
     Sel = jnp.asarray(tab["SelT"])                       # [Np, F]
     LT = jnp.asarray(tab["LT"])                          # [F, Np]
     sign = jnp.asarray(tab["sign"])[:, None, :]          # [E, 1, F]
-
-    xv = gl.transpose(0, 2, 1)                           # [E, n, Np]
 
     k1 = pl.pallas_call(
         functools.partial(_k_first, nd=nd, F=F),
@@ -240,7 +254,4 @@ def hyper_chain(dg, q, aux, t, direction, interpret: bool = False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, 3, n, Np), dt),
         interpret=interpret)
-    grad_lap = k4(vol3, dj3, w3, MI, LT)
-
-    out = grad_lap.transpose(0, 3, 1, 2)                 # [E, Np, 3, n]
-    return bl.transform_post_gradient_laplacian(out, q, aux, t)
+    return k4(vol3, dj3, w3, MI, LT)

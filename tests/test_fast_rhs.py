@@ -176,3 +176,20 @@ def test_solve_loop_vm_transparent():
     assert len(seen) == 3
     assert seen[0][1].shape == q.shape
     np.testing.assert_allclose(seen[-1][1], np.asarray(st.q), rtol=0)
+
+
+def test_fast_rhs_pallas_chain_parity():
+    """chain_kernel='pallas' (the fused 4-kernel chain riding inside the
+    var-major RHS) reproduces the XLA chain at round-off (interpret mode
+    on CPU)."""
+    dg = _hs_dg()
+    q, aux = init_ode_state(dg)
+    key = jax.random.PRNGKey(2)
+    q = q * (1 + 1e-3 * jax.random.normal(key, q.shape, dtype=q.dtype))
+    vm_x = VarMajorRHS(dg)
+    vm_p = VarMajorRHS(dg, chain_kernel="pallas")
+    dx, _ = vm_x(vm_x.to_vm(q), vm_x.aux_to_vm(aux), 0.0)
+    dp, _ = vm_p(vm_p.to_vm(q), vm_p.aux_to_vm(aux), 0.0)
+    scale = jnp.max(jnp.abs(dx), axis=(0, 2))
+    err = jnp.max(jnp.abs(dp - dx), axis=(0, 2)) / scale
+    assert float(err.max()) < 1e-11, np.asarray(err)
