@@ -157,6 +157,14 @@ class VarMajorRHS:
             chain_kernel = ("pallas" if jax.default_backend() == "tpu"
                             else "xla")
         self.chain_kernel = chain_kernel
+        # fused post-gather surface flux + lift kernel
+        # (dg/pallas_surface.py) stays OPT-IN: the hardware A/B
+        # (scripts/out/surface_ab_vm.log) measured the full RHS at
+        # 19.8 ms with it vs 15.3 ms without under identical load — the
+        # surface pass is elementwise work XLA already fuses around the
+        # gather, and the kernel boundary forces Bf/BP materialization
+        # the XLA path avoids.  Parity-tested either way.
+        self.surface_kernel = "xla"
         self.dg = dg
         self.bl = dg.balance_law
         self.grid = dg.grid
@@ -396,6 +404,32 @@ class VarMajorRHS:
                     blk = blk.at[rows].set(fixed)
                 blocks.append(blk)
             BP = jnp.concatenate(blocks, axis=2)
+
+        if self.surface_kernel == "pallas":
+            # fused post-gather flux + lift (dg/pallas_surface.py):
+            # ghost reflection, one-sided fluxes, Rusanov, hyper trace
+            # correction, remainder subtraction, sM scaling and the lift
+            # all in VMEM
+            from climatemachine_tpu.dg.pallas_surface import \
+                fused_surface_lift_vm
+            rem_lanes = ()
+            sl_lo = sl_hi = 0
+            if rem is not None:
+                from climatemachine_tpu.dg.spatial import direction_faces
+                nvb0 = nvb - (nq if hyper is not None else 0)
+                rem_lanes = (nvb0 - 3, nvb0 - 2, nvb0 - 1)
+                lfaces = direction_faces(rem[1], 3)
+                sl_lo, sl_hi = lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp
+            return fused_surface_lift_vm(
+                Bf, BP, nrm, sM, bmask.astype(Bf.dtype), g.lift.T, g.MI,
+                nq=nq, nvb=nvb,
+                subtract=subtract,
+                i_pref=i_pref if (subtract or rem is not None) else nq,
+                has_hyper=hyper is not None, rem_lanes=rem_lanes,
+                sl_lo=sl_lo, sl_hi=sl_hi,
+                R_d_T0=float(ps.R_d * ps.T_0),
+                R_over_cv=float(ps.R_d / ps.cv_d),
+                block_e=self.block_e, interpret=self.interpret)
 
         # boundary ghost: reflect normal momentum, copy everything else
         # (Impenetrable(FreeSlip) + Insulating + Impermeable; T/p/c are

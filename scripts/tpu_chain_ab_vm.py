@@ -24,7 +24,7 @@ def main():
     q, aux = init_ode_state(dg)
     hsf = HeldSuarezStepFilter(cfg.grid, cfg.model)
 
-    for kern in ("xla", "pallas", "xla", "pallas"):
+    for kern in ("xla", "pallas", "pallas", "xla"):
         vm = VarMajorRHS(dg, chain_kernel=kern)
         qv, auxv = vm.to_vm(q), vm.aux_to_vm(aux)
 

@@ -178,16 +178,29 @@ def test_solve_loop_vm_transparent():
     np.testing.assert_allclose(seen[-1][1], np.asarray(st.q), rtol=0)
 
 
-def test_fast_rhs_pallas_chain_parity():
-    """chain_kernel='pallas' (the fused 4-kernel chain riding inside the
-    var-major RHS) reproduces the XLA chain at round-off (interpret mode
-    on CPU)."""
-    dg = _hs_dg()
-    q, aux = init_ode_state(dg)
+@pytest.mark.parametrize("case", ["dry", "moist", "remainder"])
+def test_fast_rhs_pallas_kernels_parity(case):
+    """chain_kernel='pallas' (fused 4-kernel chain + fused post-gather
+    surface/lift kernel) reproduces the XLA path at round-off (interpret
+    mode on CPU) for the dry, moist, and fused-remainder configs."""
+    if case == "remainder":
+        from climatemachine_tpu.atmos.linear import \
+            AtmosAcousticGravityLinearModel
+        from climatemachine_tpu.dg.spatial import remainder_DGModel
+        base = _hs_dg()
+        lin = AtmosAcousticGravityLinearModel(base.balance_law)
+        dg_lin = DGModel(lin, base.grid, direction="vertical",
+                         update_aux=False)
+        dg = remainder_DGModel(base, dg_lin)
+        q, aux = init_ode_state(base)
+    else:
+        dg = _hs_dg(moist=(case == "moist"))
+        q, aux = init_ode_state(dg)
     key = jax.random.PRNGKey(2)
     q = q * (1 + 1e-3 * jax.random.normal(key, q.shape, dtype=q.dtype))
     vm_x = VarMajorRHS(dg)
     vm_p = VarMajorRHS(dg, chain_kernel="pallas")
+    vm_p.surface_kernel = "pallas"     # opt-in kernel stays covered
     dx, _ = vm_x(vm_x.to_vm(q), vm_x.aux_to_vm(aux), 0.0)
     dp, _ = vm_p(vm_p.to_vm(q), vm_p.aux_to_vm(aux), 0.0)
     scale = jnp.max(jnp.abs(dx), axis=(0, 2))
