@@ -56,7 +56,7 @@ def _run_simple_box_ivd(nsteps=80, nelem=20, progress=False,
                         ivdc_dt=dt_slow / max(num_impl_steps, 1),
                         add_fast_substeps=add_fast_substeps)
     m2 = BarotropicModel(problem, turbulence=ConstantViscosity(m3.nu_h),
-                         advection=None, c=1.0)
+                         advection=None, c=1.0, f_o=m3.f_o, beta=m3.beta)
 
     ranges = [np.linspace(0.0, Lx, nelem + 1),
               np.linspace(0.0, Ly, nelem + 1)]
@@ -269,8 +269,10 @@ def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False):
                         kappa_h=1e3, kappa_z=1e-4, kappa_c=1.0,
                         f_o=3.8e-5, beta=1.7e-11, num_impl_steps=5,
                         ivdc_dt=dt_slow / 5.0, add_fast_substeps=3)
+    # the reference's barotropic model takes its Coriolis from the
+    # BAROCLINIC model (BarotropicModel.jl:155 coriolis_force(m.baroclinic))
     m2 = BarotropicModel(problem, turbulence=ConstantViscosity(m3.nu_h),
-                         advection=None, c=1.0)
+                         advection=None, c=1.0, f_o=m3.f_o, beta=m3.beta)
 
     ranges = [np.linspace(0.0, Lx, nx + 1), np.linspace(0.0, Ly, ny + 1)]
     topo2 = brick_topology(ranges, periodicity=(False, False),
