@@ -39,8 +39,12 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "fourth_order"
     elems, order = {"first_order": (32, 1), "fourth_order": (13, 4)}[name]
     nsteps = int(os.environ.get("BICKLEY3D_NSTEPS", "25000"))
+    ckpt = os.path.join(os.path.dirname(__file__), "out",
+                        f"bickley3d_{name}_ckpt.npz")
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
     t0 = time.perf_counter()
-    fields = _run_bickley3d(elems, order, nsteps=nsteps, progress=True)
+    fields = _run_bickley3d(elems, order, nsteps=nsteps, progress=True,
+                            ckpt_path=ckpt)
     wall = time.perf_counter() - t0
     os.makedirs(os.path.join(os.path.dirname(__file__), "out"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(__file__), "out",

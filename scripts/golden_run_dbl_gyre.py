@@ -35,8 +35,11 @@ def achieved_digits(got, ref):
 
 def main():
     nsteps = int(os.environ.get("DBL_GYRE_NSTEPS", "75"))
+    ckpt = os.path.join(os.path.dirname(__file__), "out",
+                        "dbl_gyre_ckpt.npz")
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
     t0 = time.perf_counter()
-    fields = _run_dbl_gyre(nsteps=nsteps, progress=True)
+    fields = _run_dbl_gyre(nsteps=nsteps, progress=True, ckpt_path=ckpt)
     wall = time.perf_counter() - t0
     os.makedirs(os.path.join(os.path.dirname(__file__), "out"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(__file__), "out", "dbl_gyre.json")

@@ -164,7 +164,7 @@ def test_buoyancy_reference_refvals(name, elems, order):
 
 
 def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
-                   progress=False):
+                   progress=False, ckpt_path=None, ckpt_every=1000):
     """Reference test_bickley_jet.jl (3-D): fully periodic [-2pi,2pi]^3
     jet + two vortical perturbation streamfunctions, Roe flux,
     overintegration_order = 1, SSPRK22Heuns."""
@@ -223,10 +223,25 @@ def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
     solver = SSPRK22Heuns(rhs, dt)
     step = jax.jit(solver.step)
     q, aux, t = q0, aux0, 0.0
+    start = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        # resume a multi-hour golden run across sessions: f64 arrays
+        # round-trip exactly through .npz, so the continuation is
+        # bit-identical to an uninterrupted run
+        z = np.load(ckpt_path)
+        q, aux = jnp.asarray(z["q"]), jnp.asarray(z["aux"])
+        t, start = float(z["t"]), int(z["i"])
+        print(f"  resumed {ckpt_path} at step {start}", flush=True)
     t0 = time.perf_counter()
-    for i in range(nsteps):
+    for i in range(start, nsteps):
         q, aux = step(q, aux, t)
         t += dt
+        if ckpt_path and (i + 1) % ckpt_every == 0 and i + 1 < nsteps:
+            jax.block_until_ready(q)
+            tmp = ckpt_path + ".tmp.npz"
+            np.savez(tmp, q=np.asarray(q), aux=np.asarray(aux),
+                     t=t, i=i + 1)
+            os.replace(tmp, ckpt_path)
         if progress and (i + 1) % 2500 == 0:
             jax.block_until_ready(q)
             print(f"  step {i + 1}/{nsteps} "

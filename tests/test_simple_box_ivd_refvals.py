@@ -255,7 +255,8 @@ class DoubleGyreBox(OceanGyre):
         return model.prog_spec.set(q, "theta", theta)
 
 
-def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False):
+def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False,
+                  ckpt_path=None, ckpt_every=5):
     """(reference simple_dbl_gyre.jl:140-200, constants :496-530)"""
     from climatemachine_tpu.ode.lsrk3n import LS3NRK33Heuns3N
     Lx, Ly, H = 4e6, 6e6, 3000.0
@@ -304,10 +305,26 @@ def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False):
     step = jax.jit(se.step)
     q, aux = (q3, q2), (aux3, aux2)
     t = 0.0
+    start = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        # resume a multi-hour golden run across sessions: f64 arrays
+        # round-trip exactly through .npz (bit-identical continuation)
+        z = np.load(ckpt_path)
+        q = (jnp.asarray(z["q3"]), jnp.asarray(z["q2"]))
+        aux = (jnp.asarray(z["aux3"]), jnp.asarray(z["aux2"]))
+        t, start = float(z["t"]), int(z["i"])
+        print(f"  resumed {ckpt_path} at step {start}", flush=True)
     t0 = time.perf_counter()
-    for i in range(nsteps):
+    for i in range(start, nsteps):
         q, aux = step(q, aux, t)
         t += dt_slow
+        if ckpt_path and (i + 1) % ckpt_every == 0 and i + 1 < nsteps:
+            jax.block_until_ready(q)
+            tmp = ckpt_path + ".tmp.npz"
+            np.savez(tmp, q3=np.asarray(q[0]), q2=np.asarray(q[1]),
+                     aux3=np.asarray(aux[0]), aux2=np.asarray(aux[1]),
+                     t=t, i=i + 1)
+            os.replace(tmp, ckpt_path)
         if progress and ((i + 1) % 5 == 0 or i == 0):
             jax.block_until_ready(q)
             print(f"  step {i + 1}/{nsteps} t={t / 3600:.1f}h "
