@@ -143,7 +143,8 @@ class VarMajorRHS:
     with qv [E, nq, Np] and auxv [E, naux, Np]."""
 
     def __init__(self, dg, interpret: Optional[bool] = None,
-                 block_e: int = 32, chain_kernel: str = "auto"):
+                 block_e: int = 32, chain_kernel: str = "auto",
+                 chain_block_e: int = 16):
         assert supports(dg), "unsupported configuration for VarMajorRHS"
         from climatemachine_tpu.atmos.moisture import EquilMoist
         # "pallas": the fused 4-kernel chain (dg/pallas_ldg.chain_vm)
@@ -157,6 +158,7 @@ class VarMajorRHS:
             chain_kernel = ("pallas" if jax.default_backend() == "tpu"
                             else "xla")
         self.chain_kernel = chain_kernel
+        self.chain_block_e = chain_block_e
         # fused post-gather surface flux + lift kernel
         # (dg/pallas_surface.py) stays OPT-IN: the hardware A/B
         # (scripts/out/surface_ab_vm.log) measured the full RHS at
@@ -289,7 +291,8 @@ class VarMajorRHS:
         if self.chain_kernel == "pallas" and halo is None:
             from climatemachine_tpu.dg import pallas_ldg as _pldg
             gl2 = _pldg.chain_vm(dg, glv, dims, faces,
-                                 interpret=self.interpret)
+                                 interpret=self.interpret,
+                                 block_e=self.chain_block_e)
         else:
             tab = _lvm._tables(dg, faces, ngl)
             geom = _lvm._geom(dg, faces, dims)

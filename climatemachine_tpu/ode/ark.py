@@ -67,7 +67,13 @@ class AdditiveRungeKutta:
         if self._jit_impl is None:
             import jax
             self._jit_impl = jax.jit(self._step_impl)
-        op_args = getattr(self.solver, "op_args", lambda: None)()
+        sv = self.solver
+        if hasattr(sv, "op_args"):
+            # op_dtype=bfloat16 halves the streamed L/D/U operator bytes
+            # for the implicit-tendency matvec (see columnwise.op_args)
+            op_args = sv.op_args(getattr(sv, "op_dtype", None))
+        else:
+            op_args = None
         return self._jit_impl(q, aux, t, self.dt, self._factors(), op_args)
 
     def _step_impl(self, q, aux, t, dt, factors, op_args):

@@ -259,11 +259,30 @@ class BlockTridiagColumnSolver:
         y = y.at[:-1].add(self._bmv(self.U[:-1], xb[1:]))
         return self._unblk(y)
 
-    def op_args(self):
+    def op_args(self, dtype=None):
         """Operator arrays for ``apply_op`` — pass through jit as
         ARGUMENTS (multi-GB; captured constants blow the remote-compile
-        payload limit, same reason prefactorize factors are threaded)."""
-        return (self.Lc, self.Dc, self.Uc, self.b_cols)
+        payload limit, same reason prefactorize factors are threaded).
+
+        ``dtype=jnp.bfloat16`` halves the streamed operator bytes (the
+        matvec is HBM-bound on the L/D/U blocks); the multiply-sum still
+        accumulates in f32 (bf16·f32 promotes).  Error budget: ~4e-3
+        RELATIVE to G, and G only shifts the ARK stage predictions —
+        with ``rhs_full`` the final update's G contribution cancels
+        algebraically (ode/ark.py _step_blocks), so there is no 1/(γdt)
+        amplification (contrast the implied-G NOTE above).  The affine
+        part b stays full precision (it carries the hydrostatic
+        background, whose error would NOT cancel)."""
+        if dtype is None:
+            return (self.Lc, self.Dc, self.Uc, self.b_cols)
+        key = jnp.dtype(dtype).name
+        if not hasattr(self, "_opargs_cache"):
+            self._opargs_cache = {}
+        if key not in self._opargs_cache:
+            cast = lambda B: B.astype(dtype)
+            self._opargs_cache[key] = (cast(self.Lc), cast(self.Dc),
+                                       cast(self.Uc), self.b_cols)
+        return self._opargs_cache[key]
 
     def apply_op_blocks(self, xb, args=None):
         """L·x + b entirely in block layout [nv, nb, ncol] — lets the
@@ -390,7 +409,9 @@ class ManyColumnSolver:
 
     exact_linear_solve = True   # direct inverse: see BlockTridiag note
 
-    def op_args(self):
+    def op_args(self, dtype=None):
+        if dtype is not None:
+            return (self.A.astype(dtype), self.b_cols)
         return (self.A, self.b_cols)
 
     def apply_op(self, q, args=None):
