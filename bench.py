@@ -60,6 +60,18 @@ def _measure(step, q, aux, dt, nwarm, nsteps, k=3):
     return best, qb, auxb
 
 
+def _load_refstats():
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "refvals", "bench_heldsuarez_p4.py")
+    if not os.path.exists(path):
+        return None
+    spec = importlib.util.spec_from_file_location("bench_refstats", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _precision_gate(cfg, imex, q_im, dt_im, on_cpu):
     """Correctness gate attached to the perf number (BASELINE.md): the
     f32 bench final state's per-field statistics must match the stored
@@ -68,23 +80,31 @@ def _precision_gate(cfg, imex, q_im, dt_im, on_cpu):
     per-statistic budgets calibrated in tests/test_precision_gate.py.
     Every batch restarts from the post-warm state, so the best batch's
     final state equals warm+nsteps steps from init — deterministic."""
-    import importlib.util
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tests", "refvals", "bench_heldsuarez_p4.py")
-    if on_cpu or not os.path.exists(path):
+    mod = _load_refstats()
+    if on_cpu or mod is None:
         return {"checked": False,
                 "reason": "cpu smoke" if on_cpu else "no f64 table"}
-    spec = importlib.util.spec_from_file_location("bench_refstats", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
     if abs(mod.dt - dt_im) > 1e-9 * dt_im:
         return {"checked": False, "reason": f"dt mismatch {mod.dt}"}
     from climatemachine_tpu.ode.solve import from_internal
     qg, _ = from_internal(imex, q_im, q_im)
     qn = np.asarray(qg, dtype=np.float64)
-    budgets = {"rho": (1e-4, 1e-4, 1e-5, 1e-4),
-               "rhou": (3e-2, 3e-2, 1e-5, 1e-3),
-               "rhoe": (1e-4, 1e-4, 2e-5, 1e-4)}
+    # Budgets = measured TPU-vs-CPU-f64 envelope x ~3 (round 5,
+    # scripts/tpu_precision_bisect.py: rho extremes 2.6e-3, rhou
+    # extremes <=3.3e-2, rhoe <=2.8e-4; means <=2.4e-6, stds <=6.8e-4).
+    # The envelope is ~150x the strict-f32 one (tests/
+    # test_precision_gate.py anchors that on CPU) because TPU libm
+    # lowering differs deterministically from CPU's by ~100 ulp and
+    # Held-Suarez amplifies any perturbation at the baroclinic growth
+    # rate in the pointwise EXTREMES; the drift is IDENTICAL across the
+    # generic node-major, var-major-XLA and var-major-Pallas paths
+    # (bisect log), so it is backend arithmetic, not a kernel bug.  The
+    # tight mean/std budgets are the leak detectors: a bf16-typed
+    # contraction measured 2.3e-2 drift in 50 steps
+    # (scripts/tpu_bf16_op_ab.py) and fails them immediately.
+    budgets = {"rho": (8e-3, 8e-3, 5e-6, 1e-5),
+               "rhou": (1e-1, 1e-1, 1e-5, 2e-3),
+               "rhoe": (1e-3, 1e-3, 1e-5, 5e-5)}
     worst, failures = 0.0, []
     names = list(cfg.model.prog_spec.flattened_names())
     for i, name in enumerate(names):
@@ -160,6 +180,13 @@ def main():
 
     # --- IMEX north star: dt from the HORIZONTAL acoustic CFL -------------
     dt_im = 0.1 * min_node_distance(cfg.grid, "horizontal") / 350.0
+    # snap to the f64 reference table's dt (computed on the f64 grid, so
+    # it differs from the f32 grid's in the last bits) so the gate
+    # compares the SAME trajectory, not one with a ~1e-7 dt offset
+    _refstats = _load_refstats()
+    if (_refstats is not None
+            and abs(_refstats.dt - dt_im) < 1e-5 * dt_im):
+        dt_im = _refstats.dt
     imex = IMEXSolverType().make(dg, q0, aux0, dt_im)
     imex.post_step = hsf.apply_vm if imex.vm is not None else hsf.apply
     qi, auxi = q0, aux0

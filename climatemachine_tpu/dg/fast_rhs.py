@@ -314,7 +314,155 @@ class VarMajorRHS:
         from climatemachine_tpu.dg import fast_surface as _fs
         self._stab = _fs._tables(self.dg)
 
+    def _gather_faces(self, Bf, nvb):
+        """Neighbor exchange of a face bundle [E, nvb, X] (row halo under
+        shard_map, static tables single-device)."""
+        g, dg, tab = self.grid, self.dg, self._stab
+        E, nface, Nfp = g.nelem, g.nface, g.Nfp_max
+        halo = dg.row_halo.get(self.all_faces)
+        if halo is not None:
+            R2 = (Bf.reshape(E, nvb, nface, Nfp).transpose(0, 2, 1, 3)
+                  .reshape(E * nface, nvb * Nfp))
+            return (halo.gather(R2).reshape(E, nface, nvb, Nfp)
+                    .transpose(0, 2, 1, 3).reshape(E, nvb, nface * Nfp))
+        blocks = []
+        for f in range(nface):
+            o = int(tab["opp"][f])
+            src = Bf[:, :, o * Nfp:(o + 1) * Nfp]
+            blk = src[tab["nbr_e"][f]]
+            for fsrc, rows, src_e in tab["fix"][f]:
+                fixed = Bf[src_e][:, :, fsrc * Nfp:(fsrc + 1) * Nfp]
+                blk = blk.at[rows].set(fixed)
+            blocks.append(blk)
+        return jnp.concatenate(blocks, axis=2)
+
+    def _surface_pallas(self, qv, auxv, p, c_s, t, hyper):
+        """Two-kernel surface pass: extract+trace in VMEM -> XLA face
+        gather -> flux+lift in VMEM.  Same math as the XLA path below;
+        only the gathered bundle and its exchange touch HBM between the
+        volume state and the lifted tendency."""
+        from climatemachine_tpu.dg.pallas_surface import \
+            fused_surface_lift_vm
+        bl, g = self.bl, self.grid
+        ps = bl.param_set
+        E, nface, Nfp = g.nelem, g.nface, g.Nfp_max
+        nq, rem = self.nq, self.rem
+        subtract = bl.ref_state.subtract_off
+        na = len(self._aux_lanes(auxv))
+        nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, nface * Nfp)
+        Bf, nvb = self._bundle_pallas(qv, auxv, p, c_s, hyper)
+        BP = self._gather_faces(Bf, nvb)
+
+        sM = g.sM.reshape(E, 1, nface * Nfp)
+        bmask = self._stab["bnd_lane"][:, None, :]
+        rem_lanes = ()
+        sl_lo = sl_hi = 0
+        if rem is not None:
+            from climatemachine_tpu.dg.spatial import direction_faces
+            nvb0 = nq + 2 + na
+            rem_lanes = (nvb0 - 3, nvb0 - 2, nvb0 - 1)
+            lfaces = direction_faces(rem[1], 3)
+            sl_lo, sl_hi = lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp
+        return fused_surface_lift_vm(
+            Bf, BP, nrm, sM, bmask.astype(Bf.dtype), g.lift.T, g.MI,
+            nq=nq, nvb=nvb, subtract=subtract,
+            i_pref=nq + 2 if (subtract or rem is not None) else nq,
+            has_hyper=hyper is not None, rem_lanes=rem_lanes,
+            sl_lo=sl_lo, sl_hi=sl_hi,
+            R_d_T0=float(ps.R_d * ps.T_0),
+            R_over_cv=float(ps.R_d / ps.cv_d),
+            block_e=self.block_e, interpret=self.interpret)
+
+    def _aux_lanes(self, auxv):
+        """Minus-side auxiliary face-bundle lanes: p_ref (+ the linear
+        model's phi / energy coeff / soundspeed when a fused remainder
+        is configured)."""
+        bl, ps, rem = self.bl, self.bl.param_set, self.rem
+        lanes = []
+        if bl.ref_state.subtract_off or rem is not None:
+            lanes.append(self._aux(auxv, "ref_state.p"))
+        if rem is not None:
+            phi = auxv[:, self.i_phi, :]
+            coeff = (self._aux(auxv, "ref_state.rhoe") + lanes[0]) \
+                / self._aux(auxv, "ref_state.rho")
+            if not self.lin_gravity:
+                coeff = coeff - phi
+            cl = jnp.sqrt((ps.cp_d / ps.cv_d) * ps.R_d
+                          * self._aux(auxv, "ref_state.T"))
+            lanes += [phi, coeff, cl]
+        return lanes
+
+    def _bundle_pallas(self, qv, auxv, p, c_s, hyper):
+        """Face bundle via the fused extract+trace kernel."""
+        from climatemachine_tpu.dg.pallas_surface import extract_trace_vm
+        g = self.grid
+        E, Np, nq = g.nelem, g.Np, self.nq
+        aux_lanes = self._aux_lanes(auxv)
+        na = len(aux_lanes)
+        aux4 = (jnp.stack(aux_lanes, axis=1) if na
+                else jnp.zeros((E, 1, Np), qv.dtype))
+        if hyper is not None:
+            gl2, nu = hyper
+            ngl = gl2.shape[2]
+            gl2k = gl2.reshape(E, 3 * ngl, Np)
+        else:
+            ngl = 1
+            gl2k = jnp.zeros((E, 3, Np), qv.dtype)
+            nu = jnp.zeros((E, 2, Np), qv.dtype)
+        nrm = g.normals.transpose(0, 3, 1, 2).reshape(
+            E, 3, g.nface * g.Nfp_max)
+        Bf = extract_trace_vm(qv, p, c_s, aux4, gl2k, nu, g.lift, nrm,
+                              nq=nq, na=na, ngl=ngl,
+                              has_hyper=hyper is not None,
+                              block_e=self.block_e,
+                              interpret=self.interpret)
+        return Bf, nq + 2 + na + (nq if hyper is not None else 0)
+
+    def _bundle_xla(self, qv, auxv, p, c_s, hyper, nrm):
+        """Face bundle via XLA: B concat -> extraction matmul -> trace
+        lanes (reference dgsem_interface_tendency! minus-side staging,
+        DGModel_kernels.jl:588)."""
+        g = self.grid
+        E, Np, nq = g.nelem, g.Np, self.nq
+        X = g.nface * g.Nfp_max
+        parts = ([qv, p[:, None, :], c_s[:, None, :]]
+                 + [a[:, None, :] for a in self._aux_lanes(auxv)])
+        B = jnp.concatenate(parts, axis=1)               # [E, nvb, Np]
+        nvb = B.shape[1]
+        nX = 0
+        ngl = 0
+        if hyper is not None:
+            gl2, nu = hyper
+            ngl = gl2.shape[2]
+            nX = 3 * ngl + 2
+            B = jnp.concatenate(
+                [B, gl2.reshape(E, 3 * ngl, Np), nu], axis=1)
+        Bx = jnp.matmul(B.reshape(E * (nvb + nX), Np), g.lift,
+                        precision=_HI).reshape(E, nvb + nX, X)
+        Bf = Bx[:, :nvb]
+        if hyper is not None:
+            # scalar n·F₂ trace from the extracted chain lanes: each
+            # side contracts ITS OWN volume F₂ with its outward normal;
+            # only the nq trace lanes ride the gather
+            gl2f = Bx[:, nvb:nvb + 3 * ngl].reshape(E, 3, ngl, X)
+            nu4f = Bx[:, nvb + 3 * ngl]
+            nu4qf = Bx[:, nvb + 3 * ngl + 1]
+            G = jnp.sum(nrm[:, :, None, :] * gl2f, axis=1)   # [E, ngl, X]
+            rhoF = Bf[:, 0]
+            rnu = rhoF * nu4f
+            s_list = [jnp.zeros_like(rhoF)]
+            for j in range(3):
+                s_list.append(rnu * G[:, j])
+            s_list.append(nu4f * sum(Bf[:, 1 + j] * G[:, j]
+                                     for j in range(3)) + rnu * G[:, 3])
+            if nq > 5:
+                s_list.append(rhoF * nu4qf * G[:, 4])
+            Bf = jnp.concatenate([Bf, jnp.stack(s_list, axis=1)], axis=1)
+        return Bf, nvb
+
     def _surface(self, qv, auxv, p, c_s, t, hyper=None):
+        if self.surface_kernel == "pallas":
+            return self._surface_pallas(qv, auxv, p, c_s, t, hyper)
         """Generic-width var-major Rusanov surface pass: −M⁻¹L(sM·f*).
         Faces are nodal subsets, so face thermo (p, c) is EXTRACTED, not
         recomputed (reference dgsem_interface_tendency!,
@@ -336,103 +484,25 @@ class VarMajorRHS:
         rem = self.rem
 
         subtract = bl.ref_state.subtract_off
-        parts = [qv, p[:, None, :], c_s[:, None, :]]
-        if subtract or rem is not None:
-            parts.append(self._aux(auxv, "ref_state.p")[:, None, :])
-        i_pref = nq + 2
-        if rem is not None:
-            # linear-flux lanes: phi, coeff=(rhoe_r+p_r)/rho_r, c(T_ref)
-            phi = auxv[:, self.i_phi, :]
-            rhoe_r = self._aux(auxv, "ref_state.rhoe")
-            rho_r = self._aux(auxv, "ref_state.rho")
-            T_r = self._aux(auxv, "ref_state.T")
-            coeff = (rhoe_r + self._aux(auxv, "ref_state.p")) / rho_r
-            if not self.lin_gravity:
-                coeff = coeff - phi
-            cl = jnp.sqrt((ps.cp_d / ps.cv_d) * ps.R_d * T_r)
-            parts += [phi[:, None, :], coeff[:, None, :], cl[:, None, :]]
-        B = jnp.concatenate(parts, axis=1)               # [E, nvb, Np]
-        nvb = B.shape[1]
-        nX = 0
-        ngl = 0
-        if hyper is not None:
-            gl2, nu = hyper
-            ngl = gl2.shape[2]
-            nX = 3 * ngl + 2
-            B = jnp.concatenate(
-                [B, gl2.reshape(E, 3 * ngl, g.Np), nu], axis=1)
-
-        Bx = jnp.matmul(B.reshape(E * (nvb + nX), Np), g.lift,
-                        precision=_HI).reshape(E, nvb + nX, X)
-
         nrm = g.normals.transpose(0, 3, 1, 2).reshape(E, 3, X)
         sM = g.sM.reshape(E, 1, X)
         bmask = tab["bnd_lane"][:, None, :]
-
-        Bf = Bx[:, :nvb]
-        if hyper is not None:
-            # scalar n·F₂ trace from the extracted chain lanes: each
-            # side contracts ITS OWN volume F₂ with its outward normal;
-            # only the nq trace lanes ride the gather
-            gl2f = Bx[:, nvb:nvb + 3 * ngl].reshape(E, 3, ngl, X)
-            nu4f = Bx[:, nvb + 3 * ngl]
-            nu4qf = Bx[:, nvb + 3 * ngl + 1]
-            G = jnp.sum(nrm[:, :, None, :] * gl2f, axis=1)   # [E, ngl, X]
-            rhoF = Bf[:, 0]
-            rnu = rhoF * nu4f
-            s_list = [jnp.zeros_like(rhoF)]
-            for j in range(3):
-                s_list.append(rnu * G[:, j])
-            s_list.append(nu4f * sum(Bf[:, 1 + j] * G[:, j]
-                                     for j in range(3)) + rnu * G[:, 3])
-            if nq > 5:
-                s_list.append(rhoF * nu4qf * G[:, 4])
-            Bf = jnp.concatenate([Bf, jnp.stack(s_list, axis=1)], axis=1)
-            nvb += nq
-
-        halo = dg.row_halo.get(self.all_faces)
-        if halo is not None:
-            R2 = (Bf.reshape(E, nvb, nface, Nfp).transpose(0, 2, 1, 3)
-                  .reshape(E * nface, nvb * Nfp))
-            BP = (halo.gather(R2).reshape(E, nface, nvb, Nfp)
-                  .transpose(0, 2, 1, 3).reshape(E, nvb, X))
+        i_pref = nq + 2
+        if self.surface_kernel == "hybrid":
+            # Pallas extract+trace (hardware A/B: 0.78 ms vs ~2.3 ms for
+            # the XLA B-build + extraction + trace materializations at
+            # bench scale, scripts/tpu_surface_ab3.py), XLA gather +
+            # flux + lift (the full flux+lift kernel LOSES on hardware —
+            # scripts/out/surface_ab_vm.log and surface_ab2.log)
+            Bf, nvb = self._bundle_pallas(qv, auxv, p, c_s, hyper)
+            if hyper is not None:
+                nvb -= nq       # code below re-adds the s-lane count
         else:
-            blocks = []
-            for f in range(nface):
-                o = int(tab["opp"][f])
-                src = Bf[:, :, o * Nfp:(o + 1) * Nfp]
-                blk = src[tab["nbr_e"][f]]
-                for fsrc, rows, src_e in tab["fix"][f]:
-                    fixed = Bf[src_e][:, :, fsrc * Nfp:(fsrc + 1) * Nfp]
-                    blk = blk.at[rows].set(fixed)
-                blocks.append(blk)
-            BP = jnp.concatenate(blocks, axis=2)
+            Bf, nvb = self._bundle_xla(qv, auxv, p, c_s, hyper, nrm)
+        if hyper is not None:
+            nvb += nq           # trace lanes ride the bundle + gather
 
-        if self.surface_kernel == "pallas":
-            # fused post-gather flux + lift (dg/pallas_surface.py):
-            # ghost reflection, one-sided fluxes, Rusanov, hyper trace
-            # correction, remainder subtraction, sM scaling and the lift
-            # all in VMEM
-            from climatemachine_tpu.dg.pallas_surface import \
-                fused_surface_lift_vm
-            rem_lanes = ()
-            sl_lo = sl_hi = 0
-            if rem is not None:
-                from climatemachine_tpu.dg.spatial import direction_faces
-                nvb0 = nvb - (nq if hyper is not None else 0)
-                rem_lanes = (nvb0 - 3, nvb0 - 2, nvb0 - 1)
-                lfaces = direction_faces(rem[1], 3)
-                sl_lo, sl_hi = lfaces[0] * Nfp, (lfaces[-1] + 1) * Nfp
-            return fused_surface_lift_vm(
-                Bf, BP, nrm, sM, bmask.astype(Bf.dtype), g.lift.T, g.MI,
-                nq=nq, nvb=nvb,
-                subtract=subtract,
-                i_pref=i_pref if (subtract or rem is not None) else nq,
-                has_hyper=hyper is not None, rem_lanes=rem_lanes,
-                sl_lo=sl_lo, sl_hi=sl_hi,
-                R_d_T0=float(ps.R_d * ps.T_0),
-                R_over_cv=float(ps.R_d / ps.cv_d),
-                block_e=self.block_e, interpret=self.interpret)
+        BP = self._gather_faces(Bf, nvb)
 
         # boundary ghost: reflect normal momentum, copy everything else
         # (Impenetrable(FreeSlip) + Insulating + Impermeable; T/p/c are

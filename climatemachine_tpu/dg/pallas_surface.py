@@ -29,6 +29,96 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=a.dtype,
+                               precision=_HI)
+
+
+def _k_extract(q_ref, p_ref, c_ref, aux_ref, gl2_ref, nu_ref, lift_ref,
+               nrm_ref, out_ref, *, nq, na, ngl, has_hyper):
+    """Volume state -> 16-lane face bundle, all in VMEM: the face
+    extraction matmuls, the n·F₂ hyper trace build and the lane packing
+    that the XLA path materializes as ~5 separate [E, *, X] HBM arrays
+    (B concat, Bx, gl2f, G, s-stack)."""
+    Eb, _, Np = q_ref.shape
+    L = lift_ref[...]
+    qx = _dot(q_ref[...].reshape(Eb * nq, Np), L)
+    X = L.shape[1]
+    qx = qx.reshape(Eb, nq, X)
+    px = _dot(p_ref[...], L)
+    cx = _dot(c_ref[...], L)
+    parts = [qx, px[:, None, :], cx[:, None, :]]
+    if na:
+        ax = _dot(aux_ref[...].reshape(Eb * na, Np), L).reshape(Eb, na, X)
+        parts.append(ax)
+    if has_hyper:
+        g2 = _dot(gl2_ref[...].reshape(Eb * 3 * ngl, Np), L)
+        g2 = g2.reshape(Eb, 3, ngl, X)
+        nux = _dot(nu_ref[...].reshape(Eb * 2, Np), L).reshape(Eb, 2, X)
+        nrm = nrm_ref[...]
+        G = [nrm[:, 0, :] * g2[:, 0, j] + nrm[:, 1, :] * g2[:, 1, j]
+             + nrm[:, 2, :] * g2[:, 2, j] for j in range(ngl)]
+        rho = qx[:, 0]
+        rnu = rho * nux[:, 0]
+        s = [jnp.zeros_like(rho)]
+        for j in range(3):
+            s.append(rnu * G[j])
+        s.append(nux[:, 0] * (qx[:, 1] * G[0] + qx[:, 2] * G[1]
+                              + qx[:, 3] * G[2]) + rnu * G[3])
+        if nq > 5:
+            s.append(rho * nux[:, 1] * G[4])
+        parts.append(jnp.stack(s, axis=1))
+    out_ref[...] = jnp.concatenate(parts, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nq", "na", "ngl", "has_hyper", "block_e", "interpret"))
+def extract_trace_vm(qv, p, c_s, aux4, gl2k, nu, lift, nrm, *, nq, na,
+                     ngl, has_hyper, block_e: int = 32,
+                     interpret: bool = False):
+    """qv [E, nq, Np], p/c_s [E, Np], aux4 [E, na, Np], gl2k
+    [E, 3·ngl, Np], nu [E, 2, Np], lift [Np, X], nrm [E, 3, X] ->
+    face bundle [E, nvb, X] with the fast_rhs._surface lane contract:
+    q(nq), p, c, aux(na), then nq hyper n·F₂ trace lanes."""
+    E, _, Np = qv.shape
+    X = lift.shape[1]
+    nvb = nq + 2 + na + (nq if has_hyper else 0)
+    while E % block_e != 0:
+        block_e //= 2
+    grid = (E // block_e,)
+
+    def be2(i):
+        return (i, 0)
+
+    def be3(i):
+        return (i, 0, 0)
+
+    kernel = functools.partial(_k_extract, nq=nq, na=na, ngl=ngl,
+                               has_hyper=has_hyper)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_e, nq, Np), be3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, Np), be2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, max(na, 1), Np), be3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 3 * ngl, Np), be3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 2, Np), be3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, X), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, 3, X), be3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_e, nvb, X), be3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, nvb, X), qv.dtype),
+        interpret=interpret,
+    )(qv, p, c_s, aux4, gl2k, nu, lift, nrm)
+
+
 def _kernel(bf_ref, bp_ref, nrm_ref, sm_ref, bmask_ref, liftT_ref, mi_ref,
             out_ref, *, nq, nvb, subtract, i_pref, has_hyper, rem_lanes,
             sl_lo, sl_hi, R_d_T0, R_over_cv):

@@ -70,8 +70,19 @@ class AdditiveRungeKutta:
         sv = self.solver
         if hasattr(sv, "op_args"):
             # op_dtype=bfloat16 halves the streamed L/D/U operator bytes
-            # for the implicit-tendency matvec (see columnwise.op_args)
-            op_args = sv.op_args(getattr(sv, "op_dtype", None))
+            # for the implicit-tendency matvec, but is only validated on
+            # the rhs_full block path where the final-update G cancels
+            # (and even there it measurably drifts — see
+            # columnwise.op_args); refuse the unvalidated combination.
+            op_dtype = getattr(sv, "op_dtype", None)
+            if op_dtype is not None and getattr(self, "rhs_full",
+                                                None) is None:
+                raise ValueError(
+                    "solver.op_dtype is only supported with rhs_full "
+                    "(the reduced-precision implicit tendency feeds the "
+                    "final update directly without it — see "
+                    "columnwise.op_args)")
+            op_args = sv.op_args(op_dtype)
         else:
             op_args = None
         return self._jit_impl(q, aux, t, self.dt, self._factors(), op_args)

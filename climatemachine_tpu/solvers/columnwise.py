@@ -266,13 +266,20 @@ class BlockTridiagColumnSolver:
 
         ``dtype=jnp.bfloat16`` halves the streamed operator bytes (the
         matvec is HBM-bound on the L/D/U blocks); the multiply-sum still
-        accumulates in f32 (bf16·f32 promotes).  Error budget: ~4e-3
-        RELATIVE to G, and G only shifts the ARK stage predictions —
-        with ``rhs_full`` the final update's G contribution cancels
-        algebraically (ode/ark.py _step_blocks), so there is no 1/(γdt)
-        amplification (contrast the implied-G NOTE above).  The affine
-        part b stays full precision (it carries the hydrostatic
-        background, whose error would NOT cancel)."""
+        accumulates in f32 (bf16·f32 promotes).  MEASURED round 5
+        (scripts/tpu_bf16_op_ab.py): the ~3.4 ms/step win comes with a
+        2.3e-2 max-relative state drift within 50 benchmark steps even
+        on the ``rhs_full`` path — the final-update G cancellation is
+        exact, but the bf16-perturbed G still shifts every stage
+        prediction and Held-Suarez amplifies the perturbation at the
+        baroclinic growth rate (same mechanism as the implied-G NOTE
+        above, weaker constant).  That fails the bench precision gate's
+        mean/std budgets, so bf16 stays OPT-IN and off by default; it is
+        only validated at all for the ``rhs_full`` block path (without
+        it, G feeds the final update directly with no cancellation —
+        do not enable it there).  The affine part b stays full
+        precision (it carries the hydrostatic background, whose error
+        would NOT cancel)."""
         if dtype is None:
             return (self.Lc, self.Dc, self.Uc, self.b_cols)
         key = jnp.dtype(dtype).name
@@ -411,7 +418,15 @@ class ManyColumnSolver:
 
     def op_args(self, dtype=None):
         if dtype is not None:
-            return (self.A.astype(dtype), self.b_cols)
+            # cache the cast (ark.step calls this once per HOST step;
+            # re-casting would re-upload the multi-GB dense A each time)
+            key = jnp.dtype(dtype).name
+            if not hasattr(self, "_opargs_cache"):
+                self._opargs_cache = {}
+            if key not in self._opargs_cache:
+                self._opargs_cache[key] = (self.A.astype(dtype),
+                                           self.b_cols)
+            return self._opargs_cache[key]
         return (self.A, self.b_cols)
 
     def apply_op(self, q, args=None):

@@ -1,4 +1,6 @@
-"""Device-honest per-pass dissection of the var-major RHS at bench scale."""
+"""Device-honest per-pass dissection of the var-major RHS at bench scale
+(round-5 layout: thermo / chain / volume / surface / sources / full RHS /
+LSRK54 step with the every-step filter)."""
 import os
 import sys
 
@@ -14,7 +16,9 @@ from _bench_util import titer  # noqa: E402
 def main():
     from climatemachine_tpu.dg.fast_rhs import VarMajorRHS
     from climatemachine_tpu.dg.spatial import DGModel, init_ode_state
-    from climatemachine_tpu.experiments.held_suarez import held_suarez_config
+    from climatemachine_tpu.driver.solver_types import ExplicitSolverType
+    from climatemachine_tpu.experiments.held_suarez import (
+        held_suarez_config, HeldSuarezStepFilter)
 
     cfg = held_suarez_config(n_horz=16, n_vert=8, poly_order=4,
                              dtype=np.float32)
@@ -22,59 +26,51 @@ def main():
     q, aux = init_ode_state(dg)
     vm = VarMajorRHS(dg)
     qv, auxv = vm.to_vm(q), vm.aux_to_vm(aux)
-    g = dg.grid
-    E, Np, nq = g.nelem, g.Np, vm.nq
 
     T, p, c_s, auxv2 = vm._thermo_update(qv, auxv, 0.0)
-    F2v = vm._hyper_F2(qv, auxv2, T, p, 0.0)
+    gl2, nu = vm._chain(qv, auxv2, T, p, 0.0)
 
-    def mk(fn):
-        def make_body():
-            def body(y):
-                return fn(y)
-            return body
-        return make_body
-
-    def meas(name, fn, x0, lo=2, hi=10):
-        ms = titer(mk(fn), x0, k_lo=lo, k_hi=hi)
+    def meas(name, body, x0, lo=2, hi=10):
+        ms = titer(lambda: body, x0, k_lo=lo, k_hi=hi)
         print(f"{name:24s}: {ms:7.2f} ms", flush=True)
+        return ms
 
-    # streaming calibration: 31 MB var-major state copy+scale
-    meas("axpy qv (3x31MB)", lambda y: 1.0000001 * y + 1e-30, qv)
+    eps = 1e-12
 
-    meas("thermo+aux", lambda y: vm._thermo_update(y, auxv, 0.0)[0]
-         [:, None, :] * jnp.ones((1, nq, 1), qv.dtype) * 1e-30 + y, qv)
+    def b_thermo(y):
+        T2, p2, c2, a2 = vm._thermo_update(y[0], y[1], 0.0)
+        return (y[0] + eps * p2[:, None, :] * 0, a2)
+    meas("thermo+aux", b_thermo, (qv, auxv))
 
-    def chain_body(y):
-        f2 = vm._hyper_F2(y, auxv2, T, p, 0.0)
-        return y + 1e-30 * f2[:, 0]
-    meas("chain+F2 build", chain_body, qv)
+    def b_chain(y):
+        g2, n2 = vm._chain(y[0], auxv2, T, p, 0.0)
+        return (y[0] * (1.0 + eps * jnp.mean(g2)),)
+    meas("chain", b_chain, (qv,))
 
-    from climatemachine_tpu.dg.pallas_volume import fused_volume_tendency_vm
-    ps = dg.balance_law.param_set
-    phi = auxv[:, vm.i_phi, :]
-    p_ref = vm._aux(auxv, "ref_state.p")
-    ref3 = jnp.zeros((E, 3, Np), dtype=qv.dtype)
-    F2k = F2v.reshape(E, 3 * nq, Np)
-    xiv = g.xi_x.transpose(0, 2, 3, 1).reshape(E, 9, Np)
+    def b_surface(y):
+        s = vm._surface(y[0], auxv2, p, c_s, 0.0, hyper=(gl2, nu))
+        return (y[0] + eps * s,)
+    meas("surface(+hyper corr)", b_surface, (qv,))
 
-    def vol_body(y):
-        t = fused_volume_tendency_vm(
-            y, p, phi, p_ref, ref3, F2k, xiv, g.M, g.MI, g.Wdiv,
-            nq=nq, R_d=ps.R_d, cv_d=ps.cv_d, T_0=ps.T_0,
-            block_e=vm.block_e, subtract_ref=True, has_f2=True,
-            lin_dims=(), lin_gravity=True, interpret=False)
-        return y + 1e-30 * t
-    meas("volume kernel (w/ F2)", vol_body, qv)
+    def b_sources(y):
+        s = vm._sources(y[0], auxv2, T, p, 0.0)
+        return (y[0] + eps * s,)
+    meas("sources", b_sources, (qv,))
 
-    meas("surface", lambda y: y + 1e-30 * vm._surface(y, auxv2, p, c_s, 0.0),
-         qv)
-    meas("scalar hyper corr",
-         lambda y: y + 1e-30 * vm._scalar_hyper_vm(
-             F2v * (1 + 1e-30 * y[0, 0, 0]), vm.all_faces), qv)
-    meas("sources", lambda y: y + 1e-30 * vm._sources(y, auxv2, T, p, 0.0),
-         qv)
-    meas("FULL vm RHS", lambda y: y + 1e-30 * vm(y, auxv, 0.0)[0], qv)
+    def b_rhs(y):
+        dq, a2 = vm(y[0], y[1], 0.0)
+        return (y[0] + eps * dq, a2)
+    meas("full RHS", b_rhs, (qv, auxv), lo=2, hi=8)
+
+    # volume = RHS - (others); also measure directly via the kernel
+    hsf = HeldSuarezStepFilter(cfg.grid, cfg.model)
+    dt = 0.3 * float(np.min(cfg.grid.dx_min)) if False else 0.5
+    ex = ExplicitSolverType().make(dg, q, aux, dt)
+    ex.post_step = hsf.apply_vm
+
+    def b_step(y):
+        return ex.step(y[0], y[1], 0.0)
+    meas("LSRK54 step (+filter)", b_step, (qv, auxv), lo=1, hi=4)
 
 
 if __name__ == "__main__":

@@ -224,13 +224,28 @@ def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
     step = jax.jit(solver.step)
     q, aux, t = q0, aux0, 0.0
     start = 0
+    wall_prev = 0.0
+    params = dict(nsteps=nsteps, dt=dt, elems=elems, order=base_order)
     if ckpt_path and os.path.exists(ckpt_path):
         # resume a multi-hour golden run across sessions: f64 arrays
         # round-trip exactly through .npz, so the continuation is
-        # bit-identical to an uninterrupted run
+        # bit-identical to an uninterrupted run.  Validate the run
+        # parameters so a stale/mismatched checkpoint cannot silently
+        # masquerade as the requested run (older ckpts lack params —
+        # those only validate the step range).
         z = np.load(ckpt_path)
+        for k, v in params.items():
+            if k in z.files and float(z[k]) != float(v):
+                raise RuntimeError(
+                    f"checkpoint {ckpt_path} param mismatch: "
+                    f"{k}={float(z[k])} != requested {v}")
         q, aux = jnp.asarray(z["q"]), jnp.asarray(z["aux"])
         t, start = float(z["t"]), int(z["i"])
+        wall_prev = float(z["wall_s"]) if "wall_s" in z.files else 0.0
+        if start > nsteps:
+            raise RuntimeError(
+                f"checkpoint {ckpt_path} is at step {start} > requested "
+                f"nsteps {nsteps}: stale checkpoint from a longer run")
         print(f"  resumed {ckpt_path} at step {start}", flush=True)
     t0 = time.perf_counter()
     for i in range(start, nsteps):
@@ -240,12 +255,17 @@ def _run_bickley3d(elems, base_order, nsteps=25000, dt=0.004,
             jax.block_until_ready(q)
             tmp = ckpt_path + ".tmp.npz"
             np.savez(tmp, q=np.asarray(q), aux=np.asarray(aux),
-                     t=t, i=i + 1)
+                     t=t, i=i + 1,
+                     wall_s=wall_prev + time.perf_counter() - t0, **params)
             os.replace(tmp, ckpt_path)
         if progress and (i + 1) % 2500 == 0:
             jax.block_until_ready(q)
             print(f"  step {i + 1}/{nsteps} "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+                  f"({wall_prev + time.perf_counter() - t0:.0f}s)",
+                  flush=True)
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)   # completed: a leftover ckpt must not
+        # resume stale state into a future (possibly changed-code) run
     q = np.asarray(q)
     s = model.prog_spec
     out = {("state", "rho"): _stats(s.get(q, "rho")),

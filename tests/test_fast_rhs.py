@@ -199,10 +199,15 @@ def test_fast_rhs_pallas_kernels_parity(case):
     key = jax.random.PRNGKey(2)
     q = q * (1 + 1e-3 * jax.random.normal(key, q.shape, dtype=q.dtype))
     vm_x = VarMajorRHS(dg)
-    vm_p = VarMajorRHS(dg, chain_kernel="pallas")
-    vm_p.surface_kernel = "pallas"     # opt-in kernel stays covered
     dx, _ = vm_x(vm_x.to_vm(q), vm_x.aux_to_vm(aux), 0.0)
-    dp, _ = vm_p(vm_p.to_vm(q), vm_p.aux_to_vm(aux), 0.0)
     scale = jnp.max(jnp.abs(dx), axis=(0, 2))
-    err = jnp.max(jnp.abs(dp - dx), axis=(0, 2)) / scale
-    assert float(err.max()) < 1e-11, np.asarray(err)
+    # "pallas" = fused extract+trace bundle + fused flux/lift kernel;
+    # "hybrid" = fused bundle kernel + XLA gather/flux/lift (both
+    # opt-in: hardware A/Bs keep the XLA surface as default —
+    # scripts/out/surface_ab2.log, hybrid_probe2.log)
+    for skind in ("pallas", "hybrid"):
+        vm_p = VarMajorRHS(dg, chain_kernel="pallas")
+        vm_p.surface_kernel = skind
+        dp, _ = vm_p(vm_p.to_vm(q), vm_p.aux_to_vm(aux), 0.0)
+        err = jnp.max(jnp.abs(dp - dx), axis=(0, 2)) / scale
+        assert float(err.max()) < 1e-11, (skind, np.asarray(err))

@@ -306,13 +306,27 @@ def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False,
     q, aux = (q3, q2), (aux3, aux2)
     t = 0.0
     start = 0
+    wall_prev = 0.0
+    params = dict(nsteps=nsteps, nx=nx, ny=ny, nz=nz)
     if ckpt_path and os.path.exists(ckpt_path):
         # resume a multi-hour golden run across sessions: f64 arrays
-        # round-trip exactly through .npz (bit-identical continuation)
+        # round-trip exactly through .npz (bit-identical continuation).
+        # Validate the run parameters so a stale/mismatched checkpoint
+        # cannot silently masquerade as the requested run.
         z = np.load(ckpt_path)
+        for k, v in params.items():
+            if k in z.files and float(z[k]) != float(v):
+                raise RuntimeError(
+                    f"checkpoint {ckpt_path} param mismatch: "
+                    f"{k}={float(z[k])} != requested {v}")
         q = (jnp.asarray(z["q3"]), jnp.asarray(z["q2"]))
         aux = (jnp.asarray(z["aux3"]), jnp.asarray(z["aux2"]))
         t, start = float(z["t"]), int(z["i"])
+        wall_prev = float(z["wall_s"]) if "wall_s" in z.files else 0.0
+        if start > nsteps:
+            raise RuntimeError(
+                f"checkpoint {ckpt_path} is at step {start} > requested "
+                f"nsteps {nsteps}: stale checkpoint from a longer run")
         print(f"  resumed {ckpt_path} at step {start}", flush=True)
     t0 = time.perf_counter()
     for i in range(start, nsteps):
@@ -323,12 +337,17 @@ def _run_dbl_gyre(nsteps=75, nx=20, ny=30, nz=15, progress=False,
             tmp = ckpt_path + ".tmp.npz"
             np.savez(tmp, q3=np.asarray(q[0]), q2=np.asarray(q[1]),
                      aux3=np.asarray(aux[0]), aux2=np.asarray(aux[1]),
-                     t=t, i=i + 1)
+                     t=t, i=i + 1,
+                     wall_s=wall_prev + time.perf_counter() - t0, **params)
             os.replace(tmp, ckpt_path)
         if progress and ((i + 1) % 5 == 0 or i == 0):
             jax.block_until_ready(q)
             print(f"  step {i + 1}/{nsteps} t={t / 3600:.1f}h "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+                  f"({wall_prev + time.perf_counter() - t0:.0f}s)",
+                  flush=True)
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)   # completed: a leftover ckpt must not
+        # resume stale state into a future (possibly changed-code) run
     q3, q2 = map(np.asarray, q)
     aux3, aux2 = map(np.asarray, aux)
 
