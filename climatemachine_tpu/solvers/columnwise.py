@@ -94,14 +94,35 @@ class VMColumnLayout:
     """ColumnLayout adapter for VAR-MAJOR grid states [E, nvars, Np]
     (dg/fast_rhs.py): same block layout [nv, (k, var), (Eh, j, i)], but
     the grid side never materializes the lane-padded trailing-variable
-    form — the transpose source keeps Np-lanes tiles."""
+    form — the transpose source keeps Np-lanes tiles.
 
-    def __init__(self, layout: ColumnLayout):
+    On TPU the conversions run as Pallas kernels (solvers/
+    pallas_layout.py): in isolation the XLA 6-D transpose costs ~0.8 ms
+    per 31 MB state, but inside the compiled IMEX step XLA's layout
+    assignment expands each conversion into bitcast-copy chains
+    totalling ~15-25 ms/step at bench scale (round-5 trace,
+    scripts/tpu_imex_trace.py); the kernels pin a single-pass DMA."""
+
+    def __init__(self, layout: ColumnLayout, use_pallas=None):
         self._l = layout
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = _jax.default_backend() == "tpu"
+        self._pallas = use_pallas
+
+    @property
+    def _dims(self):
+        l = self._l
+        return (l.n_horz, l.n_vert, l.nvars, l.Nq[2],
+                l.Nq[1] * l.Nq[0])
 
     def to_blocks(self, x):
         l = self._l
         Nq1, Nq2, Nq3 = l.Nq
+        if self._pallas:
+            from climatemachine_tpu.solvers.pallas_layout import \
+                to_blocks_vm
+            return to_blocks_vm(x, layout_dims=self._dims)
         xb = x.reshape(l.n_horz, l.n_vert, l.nvars, Nq3, Nq2, Nq1)
         xb = jnp.transpose(xb, (1, 3, 2, 0, 4, 5))   # [ev, k, v, Eh, j, i]
         return xb.reshape(l.n_vert, Nq3 * l.nvars, l.ncol)
@@ -109,6 +130,10 @@ class VMColumnLayout:
     def from_blocks(self, yb):
         l = self._l
         Nq1, Nq2, Nq3 = l.Nq
+        if self._pallas:
+            from climatemachine_tpu.solvers.pallas_layout import \
+                from_blocks_vm
+            return from_blocks_vm(yb, layout_dims=self._dims)
         xb = yb.reshape(l.n_vert, Nq3, l.nvars, l.n_horz, Nq2, Nq1)
         xb = jnp.transpose(xb, (3, 0, 2, 1, 4, 5))   # [Eh, ev, v, k, j, i]
         return xb.reshape(l.n_horz * l.n_vert, l.nvars, l.Np)
