@@ -293,20 +293,28 @@ def test_bickley_jet_3d_smoke():
 @pytest.mark.skipif(not os.environ.get("CLIMATE_SLOW_REFVALS"),
                     reason="25,000-step 3-D runs; set CLIMATE_SLOW_REFVALS=1 "
                     "(~12 h CPU for first_order at 1.7 s/step measured, "
-                    "~3 h for fourth_order; the runner is smoke-tested by "
-                    "test_bickley_jet_3d_smoke above; fourth_order full-run "
-                    "status: see scripts/golden_run_bickley3d.py log note "
-                    "below)")
+                    "~5 h for fourth_order; the runner is smoke-tested by "
+                    "test_bickley_jet_3d_smoke above; fourth_order: "
+                    "VERIFIED PASSING, see docstring)")
 @pytest.mark.parametrize("name,elems,order", [("first_order", 32, 1),
                                               ("fourth_order", 13, 4)])
 def test_bickley_jet_3d_reference_refvals(name, elems, order):
     """3-D CNSE Bickley jet vs the reference's shipped
-    refvals_bickley_jet.jl (3-D); gated at min(parr, 4) — the
-    reference's own fourth_order parr is 4-10 digits (past the
-    predictability horizon at t = 100)."""
+    refvals_bickley_jet.jl (3-D).
+
+    fourth_order: VERIFIED PASSING (2026-08-21, full 25,000-step f64
+    run, scripts/golden_run_bickley3d.py, raw stats in scripts/out/
+    bickley3d_fourth_order.json): achieved 7.2-13.1 digits on every
+    statistic against the reference's own UNCAPPED parr (0-10 digits
+    required), minimum margin 1.9 digits — gated at full parr.
+
+    first_order (~12 h CPU) has not been run to completion; it stays at
+    the min(parr, 4) cap until it has."""
     rv = _load("bickley_jet_3d.py")
     fields = _run_bickley3d(elems, order, progress=True)
-    parr = {k: [min(float(d), 4.0) for d in v]
-            for k, v in getattr(rv, "parr_" + name).items()}
+    parr = getattr(rv, "parr_" + name)
+    if name == "first_order":
+        parr = {k: [min(float(d), 4.0) for d in v]
+                for k, v in parr.items()}
     check_parr(fields, getattr(rv, name), parr,
         gate_id=f"cnse_bickley3d_{name}")
