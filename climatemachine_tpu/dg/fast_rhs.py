@@ -180,6 +180,9 @@ class VarMajorRHS:
         bl = self.bl
         self.nq = bl.prog_spec.num
         self.moist = isinstance(bl.physics.moisture, EquilMoist)
+        # see _thermo_update: solver_types turns this off for the
+        # integrated dry path; export_aux refreshes at loop exit
+        self.thermo_writes_aux = True
         sp = bl.aux_spec
         self.i_phi = sp.index("orientation.Phi").start
         self.i_gphi = sp.index("orientation.grad_Phi")
@@ -229,7 +232,20 @@ class VarMajorRHS:
     def _thermo_update(self, qv, auxv, t):
         """T, p, c_s (+ aux refresh) — reference nodal
         update_auxiliary_state! (AtmosModel.jl:859-877) fused with the
-        thermo recomputation every flux/source pass would redo."""
+        thermo recomputation every flux/source pass would redo.
+
+        DRY + ``thermo_writes_aux=False`` (the solver-integrated mode,
+        set by driver/solver_types): the air_T/theta_v lane writes are
+        SKIPPED — they are pure functions of q that nothing inside the
+        step reads (T and p are passed explicitly to every consumer),
+        and writing them makes aux loop-variant, which costs two full
+        aux-array copies per RHS plus per-lane async slice-copies of
+        every aux read inside the compiled step (~15 ms/step at bench
+        scale, round-5 trace scripts/tpu_explicit_trace.py).  The lanes
+        are refreshed at export boundaries instead
+        (:meth:`export_aux`, called by SolveState/from_internal).
+        Moist configurations always write (the saturation-adjustment
+        lanes may be consumed by sources/diagnostics mid-step)."""
         from climatemachine_tpu.physics import thermodynamics as td
         bl, ps = self.bl, self.bl.param_set
         rho = qv[:, 0, :]
@@ -256,12 +272,26 @@ class VarMajorRHS:
         else:
             T = td.air_temperature(ps, e_int)
             p = td.air_pressure(ps, T, rho)
-            theta_v = T * (ps.MSLP / p) ** ps.kappa_d
-            auxv = auxv.at[:, sp.index("moisture.air_T").start, :].set(T)
-            auxv = auxv.at[:, sp.index("moisture.theta_v").start, :].set(
-                theta_v)
             c_s = td.soundspeed_air(ps, T)
+            if self.thermo_writes_aux:
+                theta_v = T * (ps.MSLP / p) ** ps.kappa_d
+                auxv = auxv.at[:, sp.index("moisture.air_T").start,
+                               :].set(T)
+                auxv = auxv.at[:, sp.index("moisture.theta_v").start,
+                               :].set(theta_v)
         return T, p, c_s, auxv
+
+    def export_aux(self, qv, auxv):
+        """Refresh the deferred thermo aux lanes before aux leaves the
+        integration loop (no-op unless ``thermo_writes_aux`` is off)."""
+        if self.thermo_writes_aux:
+            return auxv
+        writes, self.thermo_writes_aux = self.thermo_writes_aux, True
+        try:
+            _, _, _, auxv = self._thermo_update(qv, auxv, 0.0)
+        finally:
+            self.thermo_writes_aux = writes
+        return auxv
 
     # --- hyperdiffusion chain ----------------------------------------------------
     def _chain(self, qv, auxv, T, p, t):

@@ -41,6 +41,10 @@ class ExplicitSolverType:
                             is BalanceLaw.preprocess_state)
             if identity_pre and _fr.supports(dg):
                 vm = _fr.VarMajorRHS(dg)
+                if not vm.moist:
+                    # defer the air_T/theta_v aux-lane refresh to the
+                    # export boundary (fast_rhs._thermo_update docs)
+                    vm.thermo_writes_aux = False
                 rhs = vm
             elif self.state_layout == "vm":
                 raise ValueError("state_layout='vm' requested but "
@@ -156,6 +160,8 @@ class IMEXSolverType:
             from climatemachine_tpu.dg import fast_rhs as _fr
             if _fr.supports(dg):
                 vm = _fr.VarMajorRHS(dg)
+                if not vm.moist:
+                    vm.thermo_writes_aux = False
                 solver.vm = vm
                 solver.rhs_full = vm
                 from climatemachine_tpu.solvers.columnwise import \

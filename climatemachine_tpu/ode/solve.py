@@ -39,8 +39,10 @@ class SolveState:
 
     def _to_pub(self):
         if self._pub is None:
+            auxi = self._vm.export_aux(self._qi, self._auxi) \
+                if hasattr(self._vm, "export_aux") else self._auxi
             self._pub = (self._vm.from_vm(self._qi),
-                         self._vm.aux_from_vm(self._auxi))
+                         self._vm.aux_from_vm(auxi))
         return self._pub
 
     @property
@@ -73,9 +75,14 @@ def to_internal(solver, q, aux):
 
 
 def from_internal(solver, q, aux):
-    """Inverse of :func:`to_internal`."""
+    """Inverse of :func:`to_internal` (refreshes any deferred aux
+    lanes — fast_rhs.export_aux — before leaving the internal layout)."""
     vm = getattr(solver, "vm", None)
-    return (q, aux) if vm is None else (vm.from_vm(q), vm.aux_from_vm(aux))
+    if vm is None:
+        return q, aux
+    if hasattr(vm, "export_aux"):
+        aux = vm.export_aux(q, aux)
+    return vm.from_vm(q), vm.aux_from_vm(aux)
 
 
 def solve(q, aux, solver, timeend: float, t0: float = 0.0,
