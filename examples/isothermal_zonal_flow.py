@@ -94,7 +94,14 @@ def main():
     print(f"finite: {bool(jnp.all(jnp.isfinite(q)))}   "
           f"max |u - u0|: {drift:.3e} m/s of {u0:.0f} m/s jet")
     assert bool(jnp.all(jnp.isfinite(q)))
-    assert drift < 0.05 * u0
+    # steady-state drift is discretization error: measured convergence
+    # at poly 3, 60 s is 1.237 m/s (n_horz=2) -> 0.127 m/s (n_horz=4),
+    # i.e. ~order 3.3 in the horizontal spacing.  Gate on that curve
+    # with ~30% headroom so coarse smoke resolutions pass while a
+    # balance bug (which measures O(u0) at any resolution) still fails;
+    # at the default n_horz=4 this is 4x TIGHTER than the old flat 5%.
+    gate = 0.08 * u0 * (2.0 / args.n_horz) ** 3.3
+    assert drift < gate, (drift, gate)
 
 
 if __name__ == "__main__":
