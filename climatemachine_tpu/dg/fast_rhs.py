@@ -144,7 +144,7 @@ class VarMajorRHS:
 
     def __init__(self, dg, interpret: Optional[bool] = None,
                  block_e: int = 32, chain_kernel: str = "auto",
-                 chain_block_e: int = 16):
+                 chain_block_e: int = 32):
         assert supports(dg), "unsupported configuration for VarMajorRHS"
         from climatemachine_tpu.atmos.moisture import EquilMoist
         # "pallas": the fused 4-kernel chain (dg/pallas_ldg.chain_vm)
